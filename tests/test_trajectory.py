@@ -1,0 +1,81 @@
+"""Tests for the Trajectory model: evaluation, sampling, extrema."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mav_tube_trajectory_generation_tpu as mtg
+from mav_tube_trajectory_generation_tpu.models import trajectory as traj_mod
+
+N = 10
+H = N // 2
+
+
+def build_solution(dim=3, k=5, seed=42):
+    verts = mtg.create_random_vertices(H - 1, k, -10 * np.ones(dim),
+                                       10 * np.ones(dim), seed)
+    structure, values = mtg.structure_from_vertices(verts, N, mtg.SNAP)
+    times = mtg.estimate_segment_times(verts, 3.0, 5.0)
+    d_fixed = mtg.extract_fixed_values(structure, jnp.asarray(values))
+    sol = mtg.solve_linear(structure, d_fixed, jnp.asarray(times))
+    return verts, structure, values, times, sol
+
+
+def test_evaluate_against_polyval():
+    _, _, _, times, sol = build_solution()
+    traj = mtg.Trajectory(sol.coefficients, sol.times)
+    coeffs = np.asarray(sol.coefficients)
+    total = float(np.sum(times))
+    ts = np.linspace(0.0, total - 1e-9, 57)
+    for derivative in [0, 1, 2]:
+        ours = np.asarray(mtg.evaluate(traj, jnp.asarray(ts), derivative))
+        cum = np.cumsum(times)
+        for i, t in enumerate(ts):
+            seg = int(np.searchsorted(cum[:-1], t, side="right"))
+            local = t - (cum[seg] - times[seg])
+            for d in range(3):
+                oracle = np.polynomial.Polynomial(
+                    coeffs[seg, :, d]).deriv(derivative)(local)
+                assert ours[i, d] == pytest.approx(oracle, rel=1e-9, abs=1e-9)
+
+
+def test_evaluate_endpoints_match_vertices():
+    verts, structure, values, times, sol = build_solution()
+    traj = mtg.Trajectory(sol.coefficients, sol.times)
+    start = np.asarray(traj_mod.start_position(traj))
+    goal = np.asarray(traj_mod.goal_position(traj))
+    np.testing.assert_allclose(start, values[0, 0], atol=1e-8)
+    np.testing.assert_allclose(goal, values[-1, 0], atol=1e-7)
+
+
+def test_max_magnitude_vs_dense_sampling():
+    _, _, _, times, sol = build_solution(seed=5)
+    traj = mtg.Trajectory(sol.coefficients, sol.times)
+    total = float(np.sum(times))
+    ts = np.linspace(0, total, 200001)
+    samples = np.asarray(mtg.evaluate(traj, jnp.asarray(ts), 1))
+    sampled_max = np.linalg.norm(samples, axis=-1).max()
+    ext = mtg.max_magnitude(traj, 1)
+    assert float(ext.value) == pytest.approx(sampled_max, rel=1e-4)
+
+    mins, maxs = mtg.min_max_magnitude(traj, 2)
+    samples2 = np.asarray(mtg.evaluate(traj, jnp.asarray(ts), 2))
+    mags2 = np.linalg.norm(samples2, axis=-1)
+    assert float(maxs.value) == pytest.approx(mags2.max(), rel=1e-4)
+    assert float(mins.value) == pytest.approx(mags2.min(), rel=1e-3, abs=1e-3)
+
+
+def test_append_and_projection():
+    _, _, _, _, sol = build_solution(k=3)
+    traj = mtg.Trajectory(sol.coefficients, sol.times)
+    double = traj_mod.append(traj, traj)
+    assert double.n_segments == 6
+    sub = traj_mod.get_segment_dimension(traj, [0, 2])
+    assert sub.dimension == 2
+    np.testing.assert_allclose(np.asarray(sub.coefficients),
+                               np.asarray(traj.coefficients[..., [0, 2]]))
+
+
+def test_sample_times():
+    ts = traj_mod.sample_times(np.array([1.0, 2.0]), 0.5)
+    np.testing.assert_allclose(ts, [0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0])
