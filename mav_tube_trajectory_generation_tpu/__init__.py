@@ -31,6 +31,8 @@ from .solver.structure import (ProblemStructure, make_structure,
 from .solver.linear import (LinearSolution, solve_linear,
                             solve_linear_with_free, extract_fixed_values,
                             assemble_r, derivative_cost_and_grad)
+from .solver.qcqp import (ADMMConfig, QCQPSolution, solve_qcqp,
+                          position_constrained_warmstart)
 from .models.vertex import (Vertex, vertices_to_arrays, structure_from_vertices,
                             create_random_vertices, create_random_vertices_1d,
                             create_square_vertices,

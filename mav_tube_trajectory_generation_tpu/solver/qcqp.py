@@ -1,0 +1,380 @@
+"""Tube/corridor-constrained QCQP solver: batched first-order ADMM on TPU.
+
+Replaces the reference's Mosek interior-point QCQP
+(PolynomialOptimizationConstrained, polynomial_optimization_qcqp.h +
+qcqp_impl.h): minimize the derivative energy subject to
+
+  * sphere constraints   ||cp_last(k) - vertex_{k+1}|| <= r2_k at interior
+    vertices (compute_sphere_constraints, qcqp_impl.h:358-365),
+  * tube constraints     ||(I - n n^T)(cp_j(k) - p_k)|| <= r1_k confining the
+    mid control points 1..N-2 to a cylinder around the segment line
+    (compute_tube_constraints, qcqp_impl.h:370-429),
+  * tube end-caps        two half-space cuts per mid control point capping
+    the cylinder (compute_tube_end_constraints, qcqp_impl.h:432-474),
+
+where cp are Bezier control points of each segment (convex-hull property).
+
+TPU-native design: every constraint is an affine image of the free endpoint
+derivatives landing in a ball or half-line, so the problem is
+
+    min 0.5 x^T P x + q^T x   s.t.  y = G x + g,  y in C (balls x halflines)
+
+solved by over-relaxed ADMM with one batched Cholesky factorization of
+(P + rho G^T G) per scenario and fixed-iteration scans -- no per-scenario
+control flow, perfectly vmappable, with per-scenario convergence status
+outputs instead of aborts (a Mosek IPM has data-dependent iteration counts
+and is unbatchable).  Jacobi cost equilibration + per-constraint row
+equilibration keep it float32-robust for the TPU fast path.
+
+Reference defects intentionally fixed, not replicated (SURVEY.md section 2,
+C10): the dead ``solveLinear`` overwrite (qcqp_impl.h:257), hard-coded D=3
+result unpacking (:259-261, :781-783), and reading the Mosek solution even
+when the solve failed (:777-779).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bezier, qmatrix
+from . import linear
+from .structure import ProblemStructure, make_structure, standard_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    """First-order solver knobs (static).
+
+    Iterations are organized as ``n_stages`` stages of ``n_iters`` fixed-shape
+    scan steps; between stages the penalty rho is rebalanced from the
+    primal/dual residual ratio (OSQP-style) and the KKT matrix refactored.
+    Everything stays fixed-shape and vmappable; rho adapts per scenario.
+    """
+    rho: float = 0.1            # initial ADMM penalty (after equilibration)
+    sigma: float = 1e-8         # KKT regularization
+    alpha: float = 1.6          # over-relaxation
+    n_iters: int = 200          # iterations per stage (scan length)
+    n_stages: int = 5           # rho-rebalancing stages (refactorizations)
+    rho_min: float = 1e-4
+    rho_max: float = 1e4
+    eps_primal: float = 1e-5    # convergence thresholds for status output
+    eps_dual: float = 1e-5
+
+
+class QCQPSolution(NamedTuple):
+    coefficients: jnp.ndarray     # (..., K, N, D)
+    times: jnp.ndarray            # (..., K)
+    d_fixed: jnp.ndarray          # (..., n_fixed, D)
+    d_free: jnp.ndarray           # (..., n_free, D)
+    cost: jnp.ndarray             # (...,) 0.5 c^T Q c derivative energy
+    converged: jnp.ndarray        # (...,) bool
+    primal_residual: jnp.ndarray  # (...,)
+    dual_residual: jnp.ndarray    # (...,)
+    max_violation: jnp.ndarray    # (...,) max constraint violation of output
+    dual_ball: jnp.ndarray        # (..., n_ball, 3) scaled ADMM duals (rho*u)
+    dual_half: jnp.ndarray        # (..., n_half,) scaled ADMM duals (rho*u)
+
+
+class _ConstraintSystem(NamedTuple):
+    """Affine constraint maps (per scenario batch)."""
+    g_ball: jnp.ndarray       # (n_ball, 3, n_free, D) jacobian
+    b_ball: jnp.ndarray       # (n_ball, 3) offset
+    r_ball: jnp.ndarray       # (n_ball,) radius
+    g_half: jnp.ndarray       # (n_half, n_free, D) jacobian
+    b_half: jnp.ndarray       # (n_half,) offset (constraint: y + b <= 0 form
+                              #  folded: y <= 0 with offset inside)
+
+
+def _control_point_maps(structure: ProblemStructure, times: jnp.ndarray,
+                        d_fixed: jnp.ndarray):
+    """(cp0 (K, N, D), Ecp (K, N, n_free)): affine map cp = cp0 + Ecp x."""
+    n = structure.n_coefficients
+    nf = structure.n_fixed
+    m_hot = jnp.asarray(structure.one_hot_m(), dtype=times.dtype)
+    m_fix = m_hot[:, :, :nf]
+    m_free = m_hot[:, :, nf:]
+    binv = jnp.asarray(bezier.inv_control_point_mapping_unit(n),
+                       dtype=times.dtype)
+    iord = jnp.asarray(qmatrix.row_derivative_orders(n))
+    ipow = times[..., None] ** iord                       # (K, N)
+    binv_t = binv[None, :, :] * ipow[:, None, :]          # (K, N, N)
+    cp0 = jnp.einsum('kjr,krf,fd->kjd', binv_t, m_fix, d_fixed)
+    ecp = jnp.einsum('kjr,krp->kjp', binv_t, m_free)
+    return cp0, ecp
+
+
+def build_constraints(structure: ProblemStructure,
+                      times: jnp.ndarray,
+                      d_fixed: jnp.ndarray,
+                      waypoints: jnp.ndarray,
+                      radii: jnp.ndarray) -> _ConstraintSystem:
+    """Assemble the ball/half-space constraint system for one scenario.
+
+    Args:
+      structure: free-interior problem family (D == 3 for tube geometry).
+      times: (K,) segment times.
+      d_fixed: (n_fixed, D) fixed start/goal derivatives.
+      waypoints: (V, D) vertex positions (interior positions are *geometry*
+        for the tubes, not equality constraints).
+      radii: (K, 2) per-segment (tube radius r1, sphere radius r2) -- the
+        reference's std::pair<double, double> radii (qcqp.h:29-30).
+    """
+    k = structure.n_segments
+    n = structure.n_coefficients
+    d = structure.dimension
+    if d != 3:
+        raise ValueError("Tube constraints require dimension == 3 "
+                         "(reference qcqp_impl.h is 3-D only).")
+    cp0, ecp = _control_point_maps(structure, times, d_fixed)
+
+    p_start = waypoints[:-1]                              # (K, 3)
+    p_end = waypoints[1:]                                 # (K, 3)
+    seg_vec = p_end - p_start
+    seg_norm = jnp.linalg.norm(seg_vec, axis=-1, keepdims=True)
+    nvec = seg_vec / jnp.maximum(seg_norm, 1e-12)         # (K, 3)
+    proj = jnp.eye(3, dtype=times.dtype) - nvec[:, :, None] * nvec[:, None, :]
+
+    eye3 = jnp.eye(3, dtype=times.dtype)
+
+    # --- Sphere constraints at interior vertices (segments 0..K-2). -------
+    # y = cp[k, N-1, :] - waypoint_{k+1}  in Ball(r2_k).
+    g_sph = ecp[:k - 1, n - 1][:, None, :, None] * eye3[None, :, None, :]
+    b_sph = cp0[:k - 1, n - 1, :] - waypoints[1:k]
+    r_sph = radii[:k - 1, 1]
+
+    # --- Tube constraints on mid control points 1..N-2 of every segment. --
+    # y = P_k (cp[k, j, :] - p_k)  in Ball(r1_k).
+    mid = slice(1, n - 1)
+    n_mid = n - 2
+    # g_tube[k, j, i, p, dd] = proj[k, i, dd] * ecp[k, j, p]
+    g_tube = jnp.einsum('kid,kjp->kjipd', proj, ecp[:, mid])
+    b_tube = jnp.einsum('kid,kjd->kji', proj, cp0[:, mid] - p_start[:, None, :])
+    r_tube = jnp.broadcast_to(radii[:, 0][:, None], (k, n_mid))
+
+    g_ball = jnp.concatenate(
+        [g_sph, g_tube.reshape(k * n_mid, 3, ecp.shape[-1], 3)], axis=0)
+    b_ball = jnp.concatenate([b_sph, b_tube.reshape(k * n_mid, 3)], axis=0)
+    r_ball = jnp.concatenate([r_sph, r_tube.reshape(k * n_mid)], axis=0)
+
+    # --- End-cap half spaces on the same mid control points. --------------
+    # start side: (-n_k)^T cp[k,j] <= (-n_k)^T p_cap_start
+    #   p_cap_start = p_k - n_k * r_prev  (r_prev = radii[k-1].second, or
+    #   radii[0].first for the first segment; qcqp_impl.h:451-456)
+    # end side:    n_k^T cp[k,j] <= n_k^T p_cap_end,
+    #   p_cap_end = p_{k+1} + n_k * radii[k].second.
+    r_prev = jnp.concatenate([radii[:1, 0], radii[:-1, 1]])
+    p_cap_start = p_start - nvec * r_prev[:, None]
+    p_cap_end = p_end + nvec * radii[:, 1][:, None]
+
+    dirs = jnp.stack([-nvec, nvec], axis=1)               # (K, 2, 3)
+    caps = jnp.stack([p_cap_start, p_cap_end], axis=1)    # (K, 2, 3)
+    # g_half[k, j, s, p, d] = dirs[k, s, d] * ecp[k, j, p]
+    g_half = jnp.einsum('ksd,kjp->kjspd', dirs, ecp[:, mid])
+    b_half = (jnp.einsum('ksd,kjd->kjs', dirs, cp0[:, mid])
+              - jnp.einsum('ksd,ksd->ks', dirs, caps)[:, None, :])
+
+    nfree = ecp.shape[-1]
+    return _ConstraintSystem(
+        g_ball=g_ball,
+        b_ball=b_ball,
+        r_ball=r_ball,
+        g_half=g_half.reshape(k * n_mid * 2, nfree, 3),
+        b_half=b_half.reshape(k * n_mid * 2),
+    )
+
+
+def _project(z_ball: jnp.ndarray, r_ball: jnp.ndarray,
+             z_half: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    norm = jnp.linalg.norm(z_ball, axis=-1)
+    scale = jnp.where(norm > r_ball, r_ball / jnp.maximum(norm, 1e-30), 1.0)
+    return z_ball * scale[..., None], jnp.minimum(z_half, 0.0)
+
+
+def solve_qcqp(structure: ProblemStructure,
+               d_fixed: jnp.ndarray,
+               times: jnp.ndarray,
+               waypoints: jnp.ndarray,
+               radii: jnp.ndarray,
+               config: ADMMConfig = ADMMConfig(),
+               x0: Optional[jnp.ndarray] = None) -> QCQPSolution:
+    """Solve one tube-constrained QCQP scenario (vmap over a batch for many).
+
+    Args mirror the reference's Constrained::setupFromVertices + solveQCQP
+    (qcqp_impl.h:121-186, 477-788); ``structure`` must be the free-interior
+    family (``free_interior_mask``): start/goal fully fixed, interior vertex
+    derivatives all free, positions confined by the sphere/tube geometry.
+
+    Returns QCQPSolution with per-scenario convergence status (never aborts).
+    """
+    dtype = jnp.result_type(d_fixed, times)
+    d_fixed = jnp.asarray(d_fixed, dtype)
+    times = jnp.asarray(times, dtype)
+    waypoints = jnp.asarray(waypoints, dtype)
+    radii = jnp.asarray(radii, dtype)
+
+    nf = structure.n_fixed
+    n_free = structure.n_free
+    dim = structure.dimension
+    nfd = n_free * dim
+
+    # Objective blocks: per-dim quadratic with the same R_pp
+    # (constructRkDim, qcqp_impl.h:189-221, is block-diagonal over dims).
+    r = linear.assemble_r(structure, times)
+    r_pf = r[nf:, :nf]
+    r_pp = r[nf:, nf:]
+    q_lin = jnp.einsum('pf,fd->pd', r_pf, d_fixed)        # 0.5 grad at x=0
+
+    cons = build_constraints(structure, times, d_fixed, waypoints, radii)
+
+    # ---- Equilibration ---------------------------------------------------
+    # Cost scaling: x = d_scale * x_tilde with unit-diagonal P_tilde.
+    d_scale = jax.lax.rsqrt(jnp.diagonal(r_pp))           # (n_free,)
+    p_eq = r_pp * d_scale[:, None] * d_scale[None, :]
+    q_eq = q_lin * d_scale[:, None]
+    gb = cons.g_ball * d_scale[None, None, :, None]
+    gh = cons.g_half * d_scale[None, :, None]
+
+    # Row scaling: per ball block / half row -> unit Frobenius scale.
+    sb = 1.0 / jnp.maximum(
+        jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), 1e-10)
+    sh = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(gh ** 2, axis=(1, 2))), 1e-10)
+    gb = gb * sb[:, None, None, None]
+    bb = cons.b_ball * sb[:, None]
+    rb = cons.r_ball * sb
+    gh = gh * sh[:, None, None]
+    bh = cons.b_half * sh
+
+    # ---- KKT building blocks --------------------------------------------
+    gb_flat = gb.reshape(gb.shape[0] * 3, nfd)
+    gh_flat = gh.reshape(gh.shape[0], nfd)
+    gtg = gb_flat.T @ gb_flat + gh_flat.T @ gh_flat
+    # x (n_free, D) flattens p-major (index p*dim + d), so the per-dim
+    # quadratic sum_d x_d^T P x_d becomes kron(P, I_dim) on the flat vector.
+    p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
+    eye_kkt = jnp.eye(nfd, dtype=dtype)
+
+    # ---- Warm start ------------------------------------------------------
+    if x0 is None:
+        # Unconstrained minimum: P x = -q  (per dim).
+        x_init = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(
+                p_eq + config.sigma * jnp.eye(n_free, dtype=dtype),
+                lower=True), q_eq)
+    else:
+        x_init = jnp.asarray(x0, dtype) / d_scale[:, None]
+
+    def apply_g(x):                                        # x (n_free, D)
+        yb = jnp.einsum('bipd,pd->bi', gb, x) + bb
+        yh = jnp.einsum('hpd,pd->h', gh, x) + bh
+        return yb, yh
+
+    def apply_gt(vb, vh):
+        return (jnp.einsum('bipd,bi->pd', gb, vb)
+                + jnp.einsum('hpd,h->pd', gh, vh))
+
+    yb0, yh0 = apply_g(x_init)
+    zb0, zh0 = _project(yb0, rb, yh0)
+
+    def make_step(chol, rho):
+        def step(carry, _):
+            x, zb, zh, ub, uh = carry
+            rhs = -q_eq + rho * apply_gt(zb - ub - bb, zh - uh - bh)
+            x_new = jax.scipy.linalg.cho_solve(
+                chol, rhs.reshape(nfd)).reshape(n_free, dim)
+            yb, yh = apply_g(x_new)
+            yb_rel = config.alpha * yb + (1 - config.alpha) * zb
+            yh_rel = config.alpha * yh + (1 - config.alpha) * zh
+            zb_new, zh_new = _project(yb_rel + ub, rb, yh_rel + uh)
+            ub_new = ub + yb_rel - zb_new
+            uh_new = uh + yh_rel - zh_new
+            # Residuals (scaled space).
+            prim = jnp.maximum(jnp.max(jnp.abs(yb - zb_new)),
+                               jnp.max(jnp.abs(yh - zh_new)))
+            dual = rho * jnp.max(jnp.abs(
+                apply_gt(zb_new - zb, zh_new - zh)))
+            return (x_new, zb_new, zh_new, ub_new, uh_new), (prim, dual)
+        return step
+
+    rho = jnp.asarray(config.rho, dtype)
+    state = (x_init, zb0, zh0, jnp.zeros_like(zb0), jnp.zeros_like(zh0))
+    prim_res = jnp.asarray(jnp.inf, dtype)
+    dual_res = jnp.asarray(jnp.inf, dtype)
+    for stage in range(config.n_stages):
+        kkt = p_big + rho * gtg + config.sigma * eye_kkt
+        chol = jax.scipy.linalg.cho_factor(kkt, lower=True)
+        # Rescale duals for the new rho: u stores scaled duals nu/rho.
+        state, (prims, duals) = jax.lax.scan(
+            make_step(chol, rho), state, None, length=config.n_iters)
+        prim_res, dual_res = prims[-1], duals[-1]
+        if stage + 1 < config.n_stages:
+            # Residual balancing (OSQP section 5.2): rho <- rho sqrt(rp/rd),
+            # duals u = nu/rho rescale inversely.
+            ratio = jnp.sqrt(jnp.maximum(prim_res, 1e-30)
+                             / jnp.maximum(dual_res, 1e-30))
+            new_rho = jnp.clip(rho * ratio, config.rho_min, config.rho_max)
+            x_c, zb_c, zh_c, ub_c, uh_c = state
+            scale_u = rho / new_rho
+            state = (x_c, zb_c, zh_c, ub_c * scale_u, uh_c * scale_u)
+            rho = new_rho
+
+    x_fin, zb, zh, ub, uh = state
+    converged = (prim_res < config.eps_primal) & (dual_res < config.eps_dual)
+
+    d_free = x_fin * d_scale[:, None]                     # unscale
+
+    # Outputs: coefficients + true-space violation check.
+    sol = linear.solve_linear_with_free(structure, d_fixed, d_free, times)
+    yb_true = (jnp.einsum('bipd,pd->bi', cons.g_ball, d_free) + cons.b_ball)
+    viol_ball = jnp.max(jnp.linalg.norm(yb_true, axis=-1) - cons.r_ball)
+    yh_true = jnp.einsum('hpd,pd->h', cons.g_half, d_free) + cons.b_half
+    viol = jnp.maximum(viol_ball, jnp.max(yh_true))
+
+    # Original-space dual certificates: for the scaled system
+    # grad f_eq + Geq^T (rho u) = 0; unscaling gives multipliers S * rho * u.
+    # The internal objective is 0.5 x^T R_pp x + (R_pf d_f)^T x; the factor 2
+    # converts the duals to the reference's J_d = x^T R x + 2 d_f^T R_fp x
+    # convention (getCostAndGradientDerivative, nonlinear_impl.h:1537-1606)
+    # so that  2 R_pp x + 2 R_pf d_f + G^T nu = 0  holds at optimality.
+    dual_ball = 2.0 * rho * sb[:, None] * ub
+    dual_half = 2.0 * rho * sh * uh
+
+    return QCQPSolution(
+        coefficients=sol.coefficients, times=times, d_fixed=d_fixed,
+        d_free=d_free, cost=sol.cost, converged=converged,
+        primal_residual=prim_res, dual_residual=dual_res,
+        max_violation=viol, dual_ball=dual_ball, dual_half=dual_half)
+
+
+def position_constrained_warmstart(free_structure: ProblemStructure,
+                                   vertex_values: jnp.ndarray,
+                                   times: jnp.ndarray) -> jnp.ndarray:
+    """x0 for the QCQP: solve the position-constrained linear problem and
+    re-express its endpoint derivatives as free-interior d_free.
+
+    The reference's computeInitialSolutionWithPositionConstraints
+    (nonlinear_impl.h:199-272): solve with interior positions fixed, then
+    free them and seed d_p from the old solution (d_all = M^+ A p there; here
+    we read the endpoint derivatives off the compact solution directly --
+    same result without the pseudo-inverse detour).
+    """
+    n = free_structure.n_coefficients
+    v = free_structure.n_vertices
+    std = make_structure(standard_mask(v, n), free_structure.dimension, n,
+                         free_structure.derivative_to_optimize)
+    d_fixed_std = linear.extract_fixed_values(std, vertex_values)
+    sol = linear.solve_linear(std, d_fixed_std, times)
+    d_all_std = jnp.concatenate([sol.d_fixed, sol.d_free], axis=-2)
+
+    # Static index map: free column (vtx, deriv) of the free structure ->
+    # compact column in the standard structure.
+    std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}
+    std_col.update({tuple(c): std.n_fixed + i
+                    for i, c in enumerate(std.free_cols)})
+    idx = np.asarray([std_col[tuple(c)] for c in free_structure.free_cols],
+                     dtype=np.int32)
+    return jnp.take(d_all_std, jnp.asarray(idx), axis=-2)
