@@ -33,6 +33,11 @@ from .solver.linear import (LinearSolution, solve_linear,
                             assemble_r, derivative_cost_and_grad)
 from .solver.qcqp import (ADMMConfig, QCQPSolution, solve_qcqp,
                           position_constrained_warmstart)
+from .solver.nonlinear import (Objective, CostWeights, MagnitudeConstraint,
+                               NonlinearParameters, NonlinearResult,
+                               optimize, optimize_time_gradient)
+from .models.esdf import (Esdf, esdf_from_occupancy, distance_at,
+                          collision_potential, make_obstacle_grid)
 from .models.vertex import (Vertex, vertices_to_arrays, structure_from_vertices,
                             create_random_vertices, create_random_vertices_1d,
                             create_square_vertices,

@@ -1,1 +1,1 @@
-from . import vertex, trajectory
+from . import vertex, trajectory, esdf

@@ -1,1 +1,1 @@
-from . import basis, qmatrix, roots
+from . import basis, qmatrix, roots, bezier

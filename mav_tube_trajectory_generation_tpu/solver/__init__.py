@@ -1,1 +1,1 @@
-from . import structure, linear
+from . import structure, linear, qcqp, nonlinear

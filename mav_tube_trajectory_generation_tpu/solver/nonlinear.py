@@ -1,0 +1,459 @@
+"""Nonlinear trajectory refinement: batched, differentiable outer loop.
+
+Re-designs the reference's ``PolynomialOptimizationNonLinear`` (NLOPT outer
+loop, polynomial_optimization_nonlinear.h:239-674 + impl) as pure-function
+cost terms over ``(d_free, segment_times)`` plus two TPU-friendly optimizers:
+
+  * L-BFGS (optax, zoom linesearch) for the smooth objectives -- where the
+    reference needed hand-derived analytic gradients (J_d via R blocks,
+    nonlinear_impl.h:1537-1606; J_c via eq. 14, :1608-1780) and central-
+    difference numerics for everything else (:2365-2657), JAX autodiff
+    differentiates every term, including *through the inner linear solve*
+    (Cholesky), making even the segment-time gradient analytic.
+  * A fixed-shape Nelder-Mead simplex for the gradient-free time-only
+    objective, mirroring the reference's LN_SBPLX default
+    (nonlinear.h:61,125) -- iteration counts are static, candidates are
+    evaluated as one batched inner solve, and everything vmaps over
+    scenarios.
+
+Cost terms (weights per NonlinearOptimizationParameters::cost_weights,
+nonlinear.h:161-169):
+  J_d  derivative energy          (getCostAndGradientDerivative convention)
+  J_t  (total time)^2 * penalty   (objectiveFunctionTime, :894-896)
+  J_c  collision line integral    sum c(x(t)) ||v(t)|| dt (:1608-1780),
+       sampled on a fixed per-segment grid against a dense ESDF
+       (models.esdf) instead of octree traversal
+  J_sc soft max-magnitude costs   min(max_cost, exp(rel_violation * w))
+       over analytic extrema (:2735-2766), candidate times treated as
+       constants under differentiation (implicit-function treatment).
+
+Positivity of segment times is enforced by the log reparameterization
+``times = t_init * exp(theta)`` instead of NLOPT box bounds; the time-only
+path additionally clips to the reference's [0.1, 2 t_init] box
+(optimizeTime, :342-378).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import esdf as esdf_mod
+from ..ops import basis, roots
+from . import linear, qcqp
+from .structure import ProblemStructure
+
+
+class Objective(enum.Enum):
+    """Mirrors NonlinearOptimizationParameters::OptimizationObjective
+    (nonlinear.h:151-158)."""
+    FREE_CONSTRAINTS = "free_constraints"
+    FREE_CONSTRAINTS_AND_TIME = "free_constraints_and_time"
+    TIME = "time"
+    FREE_CONSTRAINTS_AND_COLLISION = "free_constraints_and_collision"
+    FREE_CONSTRAINTS_AND_COLLISION_AND_TIME = (
+        "free_constraints_and_collision_and_time")
+
+
+@dataclasses.dataclass(frozen=True)
+class CostWeights:
+    """cost_weights (nonlinear.h:161-169), reference defaults."""
+    w_d: float = 0.1
+    w_c: float = 10.0
+    w_t: float = 1.0
+    w_sc: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MagnitudeConstraint:
+    """addMaximumMagnitudeConstraint input (nonlinear.h:270-271)."""
+    derivative: int
+    value: float
+
+
+@dataclasses.dataclass(frozen=True)
+class NonlinearParameters:
+    """Static optimizer configuration (NonlinearOptimizationParameters,
+    nonlinear.h:46-210; fields without a TPU analogue -- NLOPT tolerances,
+    numeric-gradient switches -- are intentionally absent because autodiff
+    and fixed iteration counts subsume them)."""
+    objective: Objective = Objective.FREE_CONSTRAINTS_AND_TIME
+    max_iterations: int = 50
+    time_penalty: float = 500.0
+    use_soft_constraints: bool = True
+    soft_constraint_weight: float = 100.0
+    soft_constraint_max_cost: float = 1.0e12
+    weights: CostWeights = CostWeights()
+    epsilon: float = 0.5
+    robot_radius: float = 0.5
+    coll_pot_multiplier: float = 1.0
+    collision_samples_per_segment: int = 32
+    # Time-only path box (optimizeTime, nonlinear_impl.h:342-378).
+    time_lower_bound: float = 0.1
+    time_upper_factor: float = 2.0
+    nelder_mead_scale: float = 0.15
+    extrema_grid: int = 64
+
+
+class CostBreakdown(NamedTuple):
+    total: jnp.ndarray
+    trajectory: jnp.ndarray
+    collision: jnp.ndarray
+    time: jnp.ndarray
+    soft_constraints: jnp.ndarray
+
+
+class NonlinearResult(NamedTuple):
+    """OptimizationInfo analogue (nonlinear.h:212-231) + the solution."""
+    coefficients: jnp.ndarray
+    times: jnp.ndarray
+    d_fixed: jnp.ndarray
+    d_free: jnp.ndarray
+    cost: CostBreakdown
+    initial_cost: CostBreakdown
+    n_iterations: int
+
+
+# ---------------------------------------------------------------------------
+# Cost terms.
+# ---------------------------------------------------------------------------
+
+def derivative_cost(structure: ProblemStructure, d_fixed, d_free, times):
+    """J_d = d^T R d (reference convention: 2x the 0.5 c^T Q c energy)."""
+    cost, _ = linear.derivative_cost_and_grad(structure, d_fixed, d_free,
+                                              times)
+    return cost
+
+
+def time_cost(times, time_penalty: float):
+    """J_t = (sum T)^2 * penalty (objectiveFunctionTime, impl:894-896)."""
+    total = jnp.sum(times, axis=-1)
+    return total * total * time_penalty
+
+
+def _sample_segments(structure: ProblemStructure, d_fixed, d_free, times,
+                     n_samples: int, derivative_max: int = 1):
+    """Positions and velocities on a fixed midpoint grid per segment.
+
+    Returns (pos (K, S, D), vel (K, S, D), dt (K,)).
+    """
+    d_seg = linear.segment_derivatives(structure, d_fixed, d_free)
+    from ..ops import qmatrix
+    coeffs = qmatrix.coefficients_from_endpoint_derivatives(d_seg, times)
+    tau = (jnp.arange(n_samples, dtype=times.dtype) + 0.5) / n_samples
+    t_local = times[..., None] * tau                         # (K, S)
+    per_dim = jnp.moveaxis(coeffs, -1, -3)                   # (D, K, N)
+    pos = basis.polyval(per_dim[..., None, :], t_local[None], 0)
+    vel = basis.polyval(per_dim[..., None, :], t_local[None], 1)
+    pos = jnp.moveaxis(pos, 0, -1)                           # (K, S, D)
+    vel = jnp.moveaxis(vel, 0, -1)
+    return pos, vel, times / n_samples
+
+
+def collision_cost(structure: ProblemStructure, d_fixed, d_free, times,
+                   field: esdf_mod.Esdf, params: NonlinearParameters):
+    """J_c = sum_i sum_t c(x(t)) ||v(t)|| dt  (getCostAndGradientCollision,
+    impl:1608-1780), with the reference's distance-triggered sampling
+    replaced by a fixed midpoint rule (static shapes, exact autodiff)."""
+    pos, vel, dt = _sample_segments(
+        structure, d_fixed, d_free, times,
+        params.collision_samples_per_segment)
+    dist = esdf_mod.distance_at(field, pos)
+    c = esdf_mod.collision_potential(dist, params.epsilon, params.robot_radius,
+                                     params.coll_pot_multiplier)
+    # Safe speed: sqrt gradient at ||v|| = 0 would be NaN (the reference
+    # simply drops those samples' gradients, impl:1737-1745).
+    sq = jnp.sum(vel ** 2, axis=-1)
+    speed = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    speed = jnp.where(sq > 0, speed, 0.0)
+    return jnp.sum(c * speed * dt[..., None], axis=(-2, -1))
+
+
+def max_magnitude_from_d(structure: ProblemStructure, d_fixed, d_free, times,
+                         derivative: int, n_grid: int = 64):
+    """Differentiable global max of ||x^(der)||: analytic candidate times
+    (held constant under AD) + evaluation (computeMaximumOfMagnitude,
+    linear_impl.h:455-487)."""
+    d_seg = linear.segment_derivatives(structure, d_fixed, d_free)
+    from ..ops import qmatrix
+    coeffs = qmatrix.coefficients_from_endpoint_derivatives(d_seg, times)
+    zeros = jnp.zeros_like(times)
+    cand_t, valid = roots.magnitude_minmax_candidates(
+        coeffs, derivative, zeros, times, n_grid=n_grid, n_bisections=40)
+    cand_t = jax.lax.stop_gradient(cand_t)
+    per_dim = jnp.moveaxis(coeffs, -1, -3)                   # (D, K, N)
+    vals = basis.polyval(per_dim[..., None, :], cand_t[None], derivative)
+    sq = jnp.sum(jnp.moveaxis(vals, 0, -1) ** 2, axis=-1)    # (K, C)
+    # Double-where so masked/zero candidates cannot poison the sqrt gradient.
+    sq_safe = jnp.where(valid & (sq > 0), sq, 1.0)
+    mag = jnp.where(valid & (sq > 0), jnp.sqrt(sq_safe), 0.0)
+    return jnp.max(mag, axis=(-2, -1))
+
+
+def soft_constraint_cost(structure: ProblemStructure, d_fixed, d_free, times,
+                         constraints: Sequence[MagnitudeConstraint],
+                         params: NonlinearParameters):
+    """J_sc = sum min(max_cost, exp(rel_violation * weight))
+    (evaluateMaximumMagnitudeAsSoftConstraint, impl:2735-2766)."""
+    if not constraints:
+        return jnp.zeros(jnp.shape(times)[:-1], dtype=times.dtype)
+    cost = jnp.zeros(jnp.shape(times)[:-1], dtype=times.dtype)
+    for c in constraints:
+        mx = max_magnitude_from_d(structure, d_fixed, d_free, times,
+                                  c.derivative, params.extrema_grid)
+        rel = (mx - c.value) / c.value
+        # min(max_cost, exp(.)) computed in log space so the exp cannot
+        # overflow before the clamp.
+        log_cap = jnp.log(jnp.asarray(params.soft_constraint_max_cost,
+                                      times.dtype))
+        cost = cost + jnp.exp(jnp.minimum(
+            rel * params.soft_constraint_weight, log_cap))
+    return cost
+
+
+def total_cost(structure: ProblemStructure, d_fixed, d_free, times,
+               params: NonlinearParameters,
+               constraints: Sequence[MagnitudeConstraint] = (),
+               field: Optional[esdf_mod.Esdf] = None,
+               include_derivative_weight: bool = True) -> CostBreakdown:
+    """Weighted objective used by the FREE_CONSTRAINTS* objectives."""
+    w = params.weights
+    j_d = derivative_cost(structure, d_fixed, d_free, times)
+    j_t = time_cost(times, params.time_penalty)
+    zero = jnp.zeros_like(j_d)
+    j_c = (collision_cost(structure, d_fixed, d_free, times, field, params)
+           if field is not None else zero)
+    j_sc = (soft_constraint_cost(structure, d_fixed, d_free, times,
+                                 constraints, params)
+            if params.use_soft_constraints and constraints else zero)
+    w_d = w.w_d if include_derivative_weight else 1.0
+    obj = params.objective
+    use_time = obj in (Objective.FREE_CONSTRAINTS_AND_TIME,
+                       Objective.TIME,
+                       Objective.FREE_CONSTRAINTS_AND_COLLISION_AND_TIME)
+    use_coll = field is not None and obj in (
+        Objective.TIME,
+        Objective.FREE_CONSTRAINTS_AND_COLLISION,
+        Objective.FREE_CONSTRAINTS_AND_COLLISION_AND_TIME)
+    total = (w_d * j_d
+             + (w.w_t * j_t if use_time else zero)
+             + (w.w_c * j_c if use_coll else zero)
+             + (w.w_sc * j_sc))
+    return CostBreakdown(total=total, trajectory=j_d, collision=j_c,
+                         time=j_t, soft_constraints=j_sc)
+
+
+# ---------------------------------------------------------------------------
+# Optimizers.
+# ---------------------------------------------------------------------------
+
+def _lbfgs_minimize(fn, x0, n_iters: int):
+    """Fixed-iteration L-BFGS with zoom linesearch over a pytree."""
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(fn)
+
+    def step(carry, _):
+        params, state = carry
+        value, grad = value_and_grad(params, state=state)
+        updates, state = opt.update(grad, state, params, value=value,
+                                    grad=grad, value_fn=fn)
+        params = optax.apply_updates(params, updates)
+        return (params, state), value
+
+    (x_fin, _), values = jax.lax.scan(step, (x0, opt.init(x0)), None,
+                                      length=n_iters)
+    return x_fin, values
+
+
+def nelder_mead(fn, x0, n_iters: int, scale: float):
+    """Fixed-shape Nelder-Mead over x (..., n): the gradient-free path for
+    the TIME objective (the reference CHECKs that no gradient is requested,
+    impl:881-882).  All four trial points are evaluated per iteration as one
+    batched call; under vmap a branchy NM would evaluate them anyway."""
+    n = x0.shape[-1]
+    pts = jnp.concatenate(
+        [x0[None], x0[None] + scale * jnp.eye(n, dtype=x0.dtype)], axis=0)
+    fvals = jax.vmap(fn)(pts)
+
+    def step(carry, _):
+        pts, fvals = carry
+        order = jnp.argsort(fvals)
+        pts = pts[order]
+        fvals = fvals[order]
+        best, worst = pts[0], pts[-1]
+        centroid = jnp.mean(pts[:-1], axis=0)
+        xr = centroid + 1.0 * (centroid - worst)
+        xe = centroid + 2.0 * (centroid - worst)
+        xoc = centroid + 0.5 * (centroid - worst)
+        xic = centroid - 0.5 * (centroid - worst)
+        cands = jnp.stack([xr, xe, xoc, xic])
+        fr, fe, foc, fic = jax.vmap(fn)(cands)
+
+        f_best, f_second, f_worst = fvals[0], fvals[-2], fvals[-1]
+        # Standard NM acceptance, expressed with selects.
+        use_expand = (fr < f_best) & (fe < fr)
+        use_reflect = (fr < f_second) & ~use_expand
+        use_oc = (fr >= f_second) & (fr < f_worst) & (foc <= fr)
+        use_ic = (fr >= f_worst) & (fic < f_worst)
+        accepted = use_expand | use_reflect | use_oc | use_ic
+        new_pt = jnp.where(use_expand, xe,
+                  jnp.where(use_reflect, xr,
+                   jnp.where(use_oc, xoc,
+                    jnp.where(use_ic, xic, worst))))
+        new_f = jnp.where(use_expand, fe,
+                 jnp.where(use_reflect, fr,
+                  jnp.where(use_oc, foc,
+                   jnp.where(use_ic, fic, f_worst))))
+        # No candidate accepted -> pull the worst point toward the best
+        # (single-point shrink; keeps evaluation count fixed).
+        shrink_pt = best + 0.5 * (worst - best)
+        f_shrink = fn(shrink_pt)
+        new_pt = jnp.where(accepted, new_pt, shrink_pt)
+        new_f = jnp.where(accepted, new_f, f_shrink)
+        pts = pts.at[-1].set(new_pt)
+        fvals = fvals.at[-1].set(new_f)
+        return (pts, fvals), jnp.min(fvals)
+
+    (pts, fvals), history = jax.lax.scan(step, (pts, fvals), None,
+                                         length=n_iters)
+    ibest = jnp.argmin(fvals)
+    return pts[ibest], fvals[ibest], history
+
+
+# ---------------------------------------------------------------------------
+# Top-level optimize().
+# ---------------------------------------------------------------------------
+
+def optimize(structure: ProblemStructure,
+             d_fixed: jnp.ndarray,
+             times_init: jnp.ndarray,
+             params: NonlinearParameters,
+             constraints: Sequence[MagnitudeConstraint] = (),
+             field: Optional[esdf_mod.Esdf] = None,
+             waypoints: Optional[jnp.ndarray] = None,
+             radii: Optional[jnp.ndarray] = None,
+             admm_config: qcqp.ADMMConfig = qcqp.ADMMConfig(),
+             d_free_init: Optional[jnp.ndarray] = None) -> NonlinearResult:
+    """Run the configured nonlinear objective (reference optimize(),
+    nonlinear_impl.h:275-331).
+
+    For the TIME objective the inner problem is re-solved per evaluation
+    (QCQP when ``radii`` given, else the linear QP -- stack 3.4 of
+    SURVEY.md); the *_TIME smooth objectives optimize log-time scalings
+    jointly with d_free via L-BFGS.
+    """
+    dtype = jnp.result_type(d_fixed, times_init)
+    d_fixed = jnp.asarray(d_fixed, dtype)
+    times_init = jnp.asarray(times_init, dtype)
+
+    def inner_solve(times):
+        if radii is not None:
+            return qcqp.solve_qcqp(structure, d_fixed, times, waypoints,
+                                   radii, config=admm_config)
+        return linear.solve_linear(structure, d_fixed, times)
+
+    if d_free_init is None:
+        d_free_init = inner_solve(times_init).d_free
+
+    breakdown0 = total_cost(structure, d_fixed, d_free_init, times_init,
+                            params, constraints, field)
+
+    obj = params.objective
+    if obj == Objective.TIME:
+        t_lo = jnp.asarray(params.time_lower_bound, dtype)
+        t_hi = params.time_upper_factor * times_init
+
+        def clip_times(theta):
+            return jnp.clip(times_init * jnp.exp(theta), t_lo, t_hi)
+
+        def fn(theta):
+            times = clip_times(theta)
+            sol = inner_solve(times)
+            # objectiveFunctionTime composition (impl:894-944): J_traj is
+            # the 0.5 c^T Q c cost, plus time/collision/soft terms.
+            cost = sol.cost + time_cost(times, params.time_penalty)
+            if field is not None:
+                cost = cost + params.weights.w_c * collision_cost(
+                    structure, d_fixed, sol.d_free, times, field, params)
+            if params.use_soft_constraints and constraints:
+                cost = cost + soft_constraint_cost(
+                    structure, d_fixed, sol.d_free, times, constraints,
+                    params)
+            return cost
+
+        theta0 = jnp.zeros_like(times_init)
+        theta, _, _ = nelder_mead(fn, theta0, params.max_iterations,
+                                  params.nelder_mead_scale)
+        times_fin = clip_times(theta)
+        sol = inner_solve(times_fin)
+        d_free_fin = sol.d_free
+    elif obj in (Objective.FREE_CONSTRAINTS,
+                 Objective.FREE_CONSTRAINTS_AND_COLLISION):
+        def fn(d_free):
+            return total_cost(structure, d_fixed, d_free, times_init, params,
+                              constraints, field).total
+        d_free_fin, _ = _lbfgs_minimize(fn, d_free_init,
+                                        params.max_iterations)
+        times_fin = times_init
+    else:  # joint (d_free, theta) objectives
+        # Bound the log-time scaling to the reference's spirit of
+        # [0.1, 2 t_init] box bounds (optimizeTime, impl:342-378): an
+        # unbounded linesearch step in theta would overflow T^(2N-1) powers.
+        theta_cap = jnp.asarray(np.log(params.time_upper_factor),
+                                dtype)
+
+        def scale_times(theta):
+            return times_init * jnp.exp(jnp.clip(theta, -theta_cap,
+                                                 theta_cap))
+
+        def fn(xs):
+            d_free, theta = xs
+            times = scale_times(theta)
+            return total_cost(structure, d_fixed, d_free, times, params,
+                              constraints, field).total
+        (d_free_fin, theta_fin), _ = _lbfgs_minimize(
+            fn, (d_free_init, jnp.zeros_like(times_init)),
+            params.max_iterations)
+        times_fin = scale_times(theta_fin)
+
+    sol = linear.solve_linear_with_free(structure, d_fixed, d_free_fin,
+                                        times_fin)
+    breakdown = total_cost(structure, d_fixed, d_free_fin, times_fin, params,
+                           constraints, field)
+    return NonlinearResult(
+        coefficients=sol.coefficients, times=times_fin, d_fixed=d_fixed,
+        d_free=d_free_fin, cost=breakdown, initial_cost=breakdown0,
+        n_iterations=params.max_iterations)
+
+
+def optimize_time_gradient(structure: ProblemStructure,
+                           d_fixed: jnp.ndarray,
+                           times_init: jnp.ndarray,
+                           params: NonlinearParameters,
+                           n_iters: Optional[int] = None):
+    """Gradient-based segment-time optimization THROUGH the inner solve.
+
+    The reference insists time gradients are unavailable (nonlinear.h:396-402)
+    and falls back to 2K-per-iteration finite differencing
+    (getCostAndGradientTime, impl:2495-2584); with JAX the inner Cholesky
+    solve is differentiable, so d(cost)/d(times) is a single reverse-mode
+    sweep.  Returns (times, cost_history)."""
+    dtype = jnp.result_type(d_fixed, times_init)
+    times_init = jnp.asarray(times_init, dtype)
+
+    def fn(theta):
+        times = times_init * jnp.exp(theta)
+        sol = linear.solve_linear(structure, jnp.asarray(d_fixed, dtype),
+                                  times)
+        return sol.cost + time_cost(times, params.time_penalty)
+
+    theta, values = _lbfgs_minimize(
+        fn, jnp.zeros_like(times_init),
+        params.max_iterations if n_iters is None else n_iters)
+    return times_init * jnp.exp(theta), values
