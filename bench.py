@@ -1,16 +1,19 @@
-"""Headline benchmark: trajectory solves/s/chip on the flagship config.
+"""Headline benchmark: trajectory solves/s/chip, 10-segment min-snap QP+QCQP.
 
-Config: 10-segment, 3-D, N=10 min-snap (BASELINE.json configs 1-2; target
->= 10,000 solves/s/chip).  Mirrors the shape sweep of the reference's
-polynomial_timing_evaluation.cpp (K in {2, 10, 50, 100}) but megabatched:
-one jitted program solves thousands of scenarios per dispatch, which is the
-TPU-native replacement for the reference's one-solve-per-call loop.
+BASELINE.json metric: "trajectory solves/s/chip (10-seg min-snap QP+QCQP)",
+target >= 10,000/s/chip.  One "solve" = one full scenario pass: the linear
+min-snap QP (warm start) followed by the tube-constrained QCQP (ADMM), on
+the flagship 10-segment 3-D N=10 configuration, float32, megabatched so one
+jitted program amortizes dispatch over thousands of scenarios -- the
+TPU-native replacement for the reference's one-solve-per-call loop
+(polynomial_timing_evaluation.cpp:104-128).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "solves/s/chip", "vs_baseline": N/10000}
+Also reports the reference's K in {2, 10, 50, 100} linear-QP sweep as
+secondary metrics (printed to stderr; the driver consumes only the final
+stdout JSON line).
 
-Once the QCQP stage lands the headline metric includes the tube-constrained
-solve (QP+QCQP per BASELINE.json); until then it measures the linear QP.
+Usage: python bench.py            # full (QP+QCQP headline + sweep)
+       python bench.py --quick    # headline only
 """
 
 import json
@@ -20,59 +23,100 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def make_inputs(k, batch, seed=0):
     from mav_tube_trajectory_generation_tpu.solver import linear
     from mav_tube_trajectory_generation_tpu.solver import structure as sm
     from mav_tube_trajectory_generation_tpu.models.vertex import segment_times_nfabian
+    import jax.numpy as jnp
 
-    dtype = jnp.float32  # TPU fast path; parity is gated separately in f64.
-
-    k = 10
-    structure = sm.make_structure(sm.standard_mask(k + 1, 10), dimension=3,
-                                  n_coefficients=10)
-
-    batch = 8192
-    rng = np.random.RandomState(0)
-    waypoints = np.cumsum(rng.uniform(0.5, 2.0, size=(batch, k + 1, 3)), axis=1)
+    rng = np.random.RandomState(seed)
+    waypoints = np.cumsum(rng.uniform(0.5, 2.0, size=(batch, k + 1, 3)),
+                          axis=1).astype(np.float32)
+    std = sm.make_structure(sm.standard_mask(k + 1, 10), 3, 10)
+    free = sm.make_structure(sm.free_interior_mask(k + 1, 10), 3, 10)
     values = np.zeros((batch, k + 1, 5, 3), dtype=np.float32)
     values[:, :, 0, :] = waypoints
     times = np.asarray(segment_times_nfabian(waypoints, 3.0, 5.0),
                        dtype=np.float32)
-    d_fixed = np.asarray(
-        linear.extract_fixed_values(structure, jnp.asarray(values)))
+    d_fixed_std = np.asarray(
+        linear.extract_fixed_values(std, jnp.asarray(values)),
+        dtype=np.float32)
+    d_fixed_free = np.asarray(
+        linear.extract_fixed_values(free, jnp.asarray(values)),
+        dtype=np.float32)
+    radii = np.full((batch, k, 2), 0.8, dtype=np.float32)
+    return (std, free, jnp.asarray(d_fixed_std), jnp.asarray(d_fixed_free),
+            jnp.asarray(times), jnp.asarray(waypoints), jnp.asarray(radii))
 
-    d_fixed = jnp.asarray(d_fixed, dtype)
-    times = jnp.asarray(times, dtype)
 
-    solve = jax.jit(jax.vmap(
-        lambda df, t: linear.solve_linear(structure, df, t)))
-
-    # Warmup / compile.
-    out = solve(d_fixed, times)
+def time_fn(fn, args, n_iters=10):
+    import jax
+    out = fn(*args)          # compile + warmup
     jax.block_until_ready(out)
-
-    # Sanity: solutions must be finite.
-    n_finite = int(jnp.sum(jnp.isfinite(out.cost)))
-    if n_finite != batch:
-        print(json.dumps({"metric": "trajectory_solves_per_s_per_chip",
-                          "value": 0.0, "unit": "solves/s/chip",
-                          "vs_baseline": 0.0,
-                          "error": f"only {n_finite}/{batch} finite"}))
-        return
-
-    n_iters = 20
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = solve(d_fixed, times)
+    for _ in range(n_iters):
+        out = fn(*args)
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    return (time.perf_counter() - t0) / n_iters, out
 
-    solves_per_s = batch * n_iters / dt
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+    from mav_tube_trajectory_generation_tpu.solver import linear, qcqp
+
+    k = 10
+    batch = 8192
+    std, free, df_std, df_free, times, waypoints, radii = make_inputs(k, batch)
+
+    admm = qcqp.ADMMConfig(n_stages=2, n_iters=40)
+
+    std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}
+    std_col.update({tuple(c): std.n_fixed + i
+                    for i, c in enumerate(std.free_cols)})
+    warm_idx = np.asarray([std_col[tuple(c)] for c in free.free_cols],
+                          dtype=np.int32)
+
+    def full_solve(df_std_b, df_free_b, times_b, waypoints_b, radii_b):
+        """QP (standard mask) + tube QCQP warm-started from it: one scenario
+        pass of BASELINE config 4.  float32 with full-precision matmuls
+        (bf16 passes lose ADMM feasibility)."""
+        def per_scenario(df_s, df_f, t, w, r):
+            with jax.default_matmul_precision('highest'):
+                lin = linear.solve_linear(std, df_s, t)
+                # Warm start: endpoint derivatives of the position-
+                # constrained solution in the free-interior layout.
+                d_all = jnp.concatenate([lin.d_fixed, lin.d_free], axis=-2)
+                x0 = jnp.take(d_all, jnp.asarray(warm_idx), axis=-2)
+                con = qcqp.solve_qcqp(free, df_f, t, w, r, config=admm, x0=x0)
+            return lin.cost, con.cost, con.max_violation, con.converged
+        return jax.vmap(per_scenario)(df_std_b, df_free_b, times_b,
+                                      waypoints_b, radii_b)
+
+    solve = jax.jit(full_solve)
+    dt, out = time_fn(solve, (df_std, df_free, times, waypoints, radii),
+                      n_iters=5)
+    lin_cost, qcqp_cost, viol, conv = out
+    n_ok = int(jnp.sum(jnp.isfinite(qcqp_cost)
+                       & (viol < 1e-2)))
+    solves_per_s = batch / dt
+
+    print(f"[bench] QP+QCQP: {dt*1e3:.1f} ms/batch of {batch}; "
+          f"{solves_per_s:,.0f} solves/s; {n_ok}/{batch} feasible; "
+          f"median viol {float(jnp.median(viol)):.2e}", file=sys.stderr)
+
+    if not quick:
+        # Reference timing-sweep shapes (linear QP only).
+        for k_sweep in (2, 10, 50, 100):
+            stdk, _, dfk, _, tk, _, _ = make_inputs(k_sweep, 2048, seed=1)
+            f = jax.jit(jax.vmap(lambda a, b: linear.solve_linear(stdk, a, b)))
+            dt_k, _ = time_fn(f, (dfk, tk), n_iters=5)
+            print(f"[bench] linear K={k_sweep}: {2048/dt_k:,.0f} solves/s",
+                  file=sys.stderr)
+
     print(json.dumps({
-        "metric": "trajectory_solves_per_s_per_chip (10-seg 3D min-snap QP)",
+        "metric": "trajectory solves/s/chip (10-seg min-snap QP+QCQP)",
         "value": round(solves_per_s, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_s / 10000.0, 3),

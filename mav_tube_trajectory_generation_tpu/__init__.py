@@ -33,6 +33,7 @@ from .solver.linear import (LinearSolution, solve_linear,
                             assemble_r, derivative_cost_and_grad)
 from .solver.qcqp import (ADMMConfig, QCQPSolution, solve_qcqp,
                           position_constrained_warmstart)
+from .solver.ipm import IPMConfig, solve_qcqp_ipm
 from .solver.nonlinear import (Objective, CostWeights, MagnitudeConstraint,
                                NonlinearParameters, NonlinearResult,
                                optimize, optimize_time_gradient)

@@ -84,9 +84,9 @@ def control_points_from_endpoint_derivatives(d_seg: jnp.ndarray,
       cp[N-1] = end position).
     """
     n = d_seg.shape[-2]
-    binv = jnp.asarray(inv_control_point_mapping_unit(n)).astype(d_seg.dtype)
-    iord = jnp.asarray(row_derivative_orders(n))
     times = jnp.asarray(times)
+    binv = jnp.asarray(inv_control_point_mapping_unit(n), dtype=d_seg.dtype)
+    iord = jnp.asarray(row_derivative_orders(n), dtype=times.dtype)
     ipow = times[..., None] ** iord                      # (..., K, N)
     scaled = d_seg * ipow[..., :, None]
     return jnp.einsum('ij,...jd->...id', binv, scaled)

@@ -104,8 +104,8 @@ def quadratic_cost_unit(n: int, derivative: int) -> np.ndarray:
 
 def quadratic_cost(n: int, derivative: int, t) -> jnp.ndarray:
     """Q(derivative, T) for (batched) segment times ``t``: (..., N, N)."""
-    qhat = jnp.asarray(quadratic_cost_unit(n, derivative))
     t = jnp.asarray(t)
+    qhat = jnp.asarray(quadratic_cost_unit(n, derivative), dtype=t.dtype)
     jpow = t[..., None] ** jnp.arange(n, dtype=t.dtype)          # (..., N)
     scale = t ** (1 - 2 * derivative)
     return scale[..., None, None] * jpow[..., :, None] * jpow[..., None, :] * qhat
@@ -129,9 +129,9 @@ def hessian_blocks(times: jnp.ndarray, n: int, derivative: int) -> jnp.ndarray:
     (linear_impl.h:314-317) with an elementwise power scaling of the constant
     ``hessian_unit``:  H[r, c] = Hhat[r, c] * T^(1 - 2d + i_r + i_c).
     """
-    hhat = jnp.asarray(hessian_unit(n, derivative))
-    iord = jnp.asarray(row_derivative_orders(n))
     times = jnp.asarray(times)
+    hhat = jnp.asarray(hessian_unit(n, derivative), dtype=times.dtype)
+    iord = jnp.asarray(row_derivative_orders(n), dtype=times.dtype)
     tpow = times[..., None] ** iord                               # (..., K, N)
     scale = times ** (1 - 2 * derivative)
     return (scale[..., None, None] * tpow[..., :, None] * tpow[..., None, :]
@@ -140,9 +140,9 @@ def hessian_blocks(times: jnp.ndarray, n: int, derivative: int) -> jnp.ndarray:
 
 def mapping_matrix(times: jnp.ndarray, n: int) -> jnp.ndarray:
     """A(T_k) for (batched) times: (..., N, N).  For tests/diagnostics."""
-    ahat = jnp.asarray(mapping_matrix_unit(n))
-    iord = jnp.asarray(row_derivative_orders(n))
     times = jnp.asarray(times)
+    ahat = jnp.asarray(mapping_matrix_unit(n), dtype=times.dtype)
+    iord = jnp.asarray(row_derivative_orders(n), dtype=times.dtype)
     jpow = times[..., None] ** jnp.arange(n, dtype=times.dtype)
     ipow = times[..., None] ** iord
     return ahat * jpow[..., None, :] / ipow[..., :, None]
@@ -150,9 +150,9 @@ def mapping_matrix(times: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def inv_mapping_matrix(times: jnp.ndarray, n: int) -> jnp.ndarray:
     """A(T_k)^{-1} for (batched) times: (..., N, N).  For tests/diagnostics."""
-    ainv_hat = jnp.asarray(inv_mapping_matrix_unit(n))
-    iord = jnp.asarray(row_derivative_orders(n))
     times = jnp.asarray(times)
+    ainv_hat = jnp.asarray(inv_mapping_matrix_unit(n), dtype=times.dtype)
+    iord = jnp.asarray(row_derivative_orders(n), dtype=times.dtype)
     jpow = times[..., None] ** jnp.arange(n, dtype=times.dtype)
     ipow = times[..., None] ** iord
     return ainv_hat * ipow[..., None, :] / jpow[..., :, None]
@@ -174,9 +174,9 @@ def coefficients_from_endpoint_derivatives(d_seg: jnp.ndarray,
     Uses A^{-1}(T) = diag(T^-j) Ahat^{-1} diag(T^i_r).
     """
     n = d_seg.shape[-2]
-    ainv_hat = jnp.asarray(inv_mapping_matrix_unit(n)).astype(d_seg.dtype)
-    iord = jnp.asarray(row_derivative_orders(n))
     times = jnp.asarray(times)
+    ainv_hat = jnp.asarray(inv_mapping_matrix_unit(n), dtype=d_seg.dtype)
+    iord = jnp.asarray(row_derivative_orders(n), dtype=times.dtype)
     ipow = times[..., None] ** iord                               # (..., K, N)
     jpow = times[..., None] ** jnp.arange(n, dtype=times.dtype)   # (..., K, N)
     scaled = d_seg * ipow[..., :, None]
@@ -189,9 +189,9 @@ def endpoint_derivatives_from_coefficients(coeffs: jnp.ndarray,
     """d = A(T) p per segment: inverse of the above (used for QCQP warm starts
     and the d_all = M^+ A p re-seeding path, nonlinear_impl.h:199-272)."""
     n = coeffs.shape[-2]
-    ahat = jnp.asarray(mapping_matrix_unit(n)).astype(coeffs.dtype)
-    iord = jnp.asarray(row_derivative_orders(n))
     times = jnp.asarray(times)
+    ahat = jnp.asarray(mapping_matrix_unit(n), dtype=coeffs.dtype)
+    iord = jnp.asarray(row_derivative_orders(n), dtype=times.dtype)
     ipow = times[..., None] ** iord
     jpow = times[..., None] ** jnp.arange(n, dtype=times.dtype)
     scaled = coeffs * jpow[..., :, None]

@@ -1,1 +1,1 @@
-from . import structure, linear, qcqp, nonlinear
+from . import structure, linear, qcqp, ipm, nonlinear

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import bezier, qmatrix
+from ..ops import bezier, linalg, qmatrix
 from . import linear
 from .structure import ProblemStructure, make_structure, standard_mask
 
@@ -64,6 +64,10 @@ class ADMMConfig:
     rho_max: float = 1e4
     eps_primal: float = 1e-5    # convergence thresholds for status output
     eps_dual: float = 1e-5
+    # Run the inner iterations as a Pallas TPU kernel (ops/admm_kernel.py):
+    # per-scenario matrices stay VMEM-resident across a whole stage instead
+    # of being re-streamed from HBM every iteration.  float32 only.
+    use_pallas: bool = False
 
 
 class QCQPSolution(NamedTuple):
@@ -100,7 +104,7 @@ def _control_point_maps(structure: ProblemStructure, times: jnp.ndarray,
     m_free = m_hot[:, :, nf:]
     binv = jnp.asarray(bezier.inv_control_point_mapping_unit(n),
                        dtype=times.dtype)
-    iord = jnp.asarray(qmatrix.row_derivative_orders(n))
+    iord = jnp.asarray(qmatrix.row_derivative_orders(n), dtype=times.dtype)
     ipow = times[..., None] ** iord                       # (K, N)
     binv_t = binv[None, :, :] * ipow[:, None, :]          # (K, N, N)
     cp0 = jnp.einsum('kjr,krf,fd->kjd', binv_t, m_fix, d_fixed)
@@ -195,6 +199,126 @@ def _project(z_ball: jnp.ndarray, r_ball: jnp.ndarray,
     return z_ball * scale[..., None], jnp.minimum(z_half, 0.0)
 
 
+def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
+                    x_flat0, z0, project_flat, dtype):
+    """Staged ADMM with the inner iterations as an XLA scan."""
+
+    def make_step(wgt, xq, rho):
+        def step(carry, _):
+            x, z, _, u = carry
+            x_new = xq + rho * (wgt @ (z - u - b_all))
+            y = g_all @ x_new + b_all
+            y_rel = config.alpha * y + (1 - config.alpha) * z
+            z_new = project_flat(y_rel + u)
+            u_new = u + y_rel - z_new
+            prim = jnp.max(jnp.abs(y - z_new))
+            return (x_new, z_new, z, u_new), prim
+        return step
+
+    rho = jnp.asarray(config.rho, dtype)
+    state = (x_flat0, z0, z0, jnp.zeros_like(z0))
+    prim_res = jnp.asarray(jnp.inf, dtype)
+    dual_res = jnp.asarray(jnp.inf, dtype)
+    for stage in range(config.n_stages):
+        kkt = p_big + rho * gtg + config.sigma * eye_kkt
+        w_inv = linalg.spd_inverse(kkt)                     # (nfd, nfd)
+        wgt = w_inv @ g_all.T                               # (nfd, m)
+        xq = -(w_inv @ q_flat)
+        state, prims = jax.lax.scan(
+            make_step(wgt, xq, rho), state, None, length=config.n_iters)
+        x_c, z_c, z_prev_c, u_c = state
+        prim_res = prims[-1]
+        dual_res = rho * jnp.max(jnp.abs(g_all.T @ (z_c - z_prev_c)))
+        if stage + 1 < config.n_stages:
+            # Residual balancing (OSQP section 5.2): rho <- rho sqrt(rp/rd),
+            # duals u = nu/rho rescale inversely.
+            ratio = jnp.sqrt(jnp.maximum(prim_res, 1e-30)
+                             / jnp.maximum(dual_res, 1e-30))
+            new_rho = jnp.clip(rho * ratio, config.rho_min, config.rho_max)
+            state = (x_c, z_c, z_prev_c, u_c * (rho / new_rho))
+            rho = new_rho
+
+    x_fin, z_fin, _, u_fin = state
+    return x_fin, z_fin, u_fin, rho, prim_res, dual_res
+
+
+def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
+                       x_flat0, z0, n_ball, n_half, nfd):
+    """Staged ADMM with the inner iterations in the VMEM-resident kernel.
+
+    Works on float32 padded layouts (ops/admm_kernel.py); per-stage rho
+    adaptation and the KKT (re)inverse stay in XLA.
+    """
+    from ..ops import admm_kernel
+
+    f32 = jnp.float32
+    nb_p = admm_kernel.round_up(max(n_ball, 1), 128)
+    nh_p = admm_kernel.round_up(max(n_half, 1), 128)
+    m_p = 3 * nb_p + nh_p
+    nfd_p = admm_kernel.round_up(nfd, 128)
+    mb = 3 * n_ball
+
+    def pad_m_vector(v):
+        """(m,) component-major -> (1, m_p) padded component planes."""
+        out = jnp.zeros((1, m_p), f32)
+        vb = v[:mb].reshape(3, n_ball)
+        for c in range(3):
+            out = out.at[0, c * nb_p:c * nb_p + n_ball].set(
+                vb[c].astype(f32))
+        return out.at[0, 3 * nb_p:3 * nb_p + n_half].set(v[mb:].astype(f32))
+
+    def unpad_m_vector(vp):
+        parts = [vp[0, c * nb_p:c * nb_p + n_ball] for c in range(3)]
+        return jnp.concatenate(
+            parts + [vp[0, 3 * nb_p:3 * nb_p + n_half]]).astype(g_all.dtype)
+
+    def pad_rows(mat):
+        """(m, nfd) -> (m_p, nfd_p) with component-plane row layout."""
+        out = jnp.zeros((m_p, nfd_p), f32)
+        mbk = mat[:mb].reshape(3, n_ball, nfd)
+        for c in range(3):
+            out = out.at[c * nb_p:c * nb_p + n_ball, :nfd].set(
+                mbk[c].astype(f32))
+        return out.at[3 * nb_p:3 * nb_p + n_half, :nfd].set(
+            mat[mb:].astype(f32))
+
+    a2 = pad_rows(g_all).T                                # (nfd_p, m_p)
+    b_pad = pad_m_vector(b_all)
+    rb_pad = jnp.ones((1, nb_p), f32).at[0, :n_ball].set(rb.astype(f32))
+
+    rho = jnp.asarray(config.rho, f32)
+    z = pad_m_vector(z0)
+    u = jnp.zeros_like(z)
+    x = jnp.zeros((1, nfd_p), f32).at[0, :nfd].set(x_flat0.astype(f32))
+    prim_res = jnp.asarray(jnp.inf, f32)
+    dual_res = jnp.asarray(jnp.inf, f32)
+    for stage in range(config.n_stages):
+        kkt = p_big + rho * gtg + config.sigma * eye_kkt
+        w_inv = linalg.spd_inverse(kkt)
+        wgt = w_inv @ g_all.T                              # (nfd, m)
+        xq = -(w_inv @ q_flat)
+        a1 = pad_rows(wgt.T)                               # (m_p, nfd_p)
+        xq_pad = jnp.zeros((1, nfd_p), f32).at[0, :nfd].set(xq.astype(f32))
+        x, z, z_prev, u, prim = admm_kernel.admm_stage(
+            jnp.reshape(rho, (1, 1)).astype(f32), a1, a2, b_pad, rb_pad,
+            xq_pad, z, u, n_iters=config.n_iters, alpha=config.alpha,
+            nb_p=nb_p)
+        prim_res = prim[0, 0]
+        dz = unpad_m_vector(z) - unpad_m_vector(z_prev)
+        dual_res = rho * jnp.max(jnp.abs(g_all.T @ dz)).astype(f32)
+        if stage + 1 < config.n_stages:
+            ratio = jnp.sqrt(jnp.maximum(prim_res, 1e-30)
+                             / jnp.maximum(dual_res, 1e-30))
+            new_rho = jnp.clip(rho * ratio, config.rho_min, config.rho_max)
+            u = u * (rho / new_rho)
+            rho = new_rho
+
+    x_fin = x[0, :nfd].astype(g_all.dtype)
+    return (x_fin, unpad_m_vector(z), unpad_m_vector(u),
+            rho.astype(g_all.dtype), prim_res.astype(g_all.dtype),
+            dual_res.astype(g_all.dtype))
+
+
 def solve_qcqp(structure: ProblemStructure,
                d_fixed: jnp.ndarray,
                times: jnp.ndarray,
@@ -240,23 +364,38 @@ def solve_qcqp(structure: ProblemStructure,
     gh = cons.g_half * d_scale[None, :, None]
 
     # Row scaling: per ball block / half row -> unit Frobenius scale.
-    sb = 1.0 / jnp.maximum(
-        jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), 1e-10)
-    sh = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(gh ** 2, axis=(1, 2))), 1e-10)
+    # Row scales clamped to [1e-2, 1e2]: constraints whose Jacobian block is
+    # (near-)zero -- e.g. tube constraints on the first segment's leading
+    # control points, which depend only on *fixed* start derivatives -- are
+    # constants; unbounded up-scaling of those rows poisons the solvers.
+    sb = 1.0 / jnp.clip(
+        jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), 1e-2, 1e2)
+    sh = 1.0 / jnp.clip(jnp.sqrt(jnp.sum(gh ** 2, axis=(1, 2))), 1e-2, 1e2)
     gb = gb * sb[:, None, None, None]
     bb = cons.b_ball * sb[:, None]
     rb = cons.r_ball * sb
     gh = gh * sh[:, None, None]
     bh = cons.b_half * sh
 
-    # ---- KKT building blocks --------------------------------------------
-    gb_flat = gb.reshape(gb.shape[0] * 3, nfd)
-    gh_flat = gh.reshape(gh.shape[0], nfd)
-    gtg = gb_flat.T @ gb_flat + gh_flat.T @ gh_flat
-    # x (n_free, D) flattens p-major (index p*dim + d), so the per-dim
-    # quadratic sum_d x_d^T P x_d becomes kron(P, I_dim) on the flat vector.
+    # ---- KKT building blocks (flat constraint space) ---------------------
+    # x (n_free, D) flattens p-major (index p*dim + d); ball rows flatten
+    # COMPONENT-major ([all x | all y | all z]) so the ball projection is
+    # three contiguous slices (also the Pallas kernel layout).  All
+    # per-iteration work becomes two dense matvecs against precomputed
+    # matrices -- deliberately NO triangular solves inside the scan:
+    # XLA:TPU lowers batched triangular solves row-by-row (latency-bound),
+    # whereas dense (m x n) matvecs ride the MXU.
+    n_ball = gb.shape[0]
+    n_half = gh.shape[0]
+    mb = n_ball * 3
+    gb_cm = jnp.moveaxis(gb, 1, 0)                        # (3, n_ball, nf, D)
+    g_all = jnp.concatenate([gb_cm.reshape(mb, nfd),
+                             gh.reshape(n_half, nfd)], axis=0)   # (m, nfd)
+    b_all = jnp.concatenate([bb.T.reshape(mb), bh])
+    gtg = g_all.T @ g_all
     p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
     eye_kkt = jnp.eye(nfd, dtype=dtype)
+    q_flat = q_eq.reshape(nfd)
 
     # ---- Warm start ------------------------------------------------------
     if x0 is None:
@@ -267,65 +406,32 @@ def solve_qcqp(structure: ProblemStructure,
                 lower=True), q_eq)
     else:
         x_init = jnp.asarray(x0, dtype) / d_scale[:, None]
+    x_flat0 = x_init.reshape(nfd)
 
-    def apply_g(x):                                        # x (n_free, D)
-        yb = jnp.einsum('bipd,pd->bi', gb, x) + bb
-        yh = jnp.einsum('hpd,pd->h', gh, x) + bh
-        return yb, yh
+    def project_flat(v):
+        vb = v[:mb].reshape(3, n_ball)
+        sq = jnp.sum(vb * vb, axis=0)
+        scale = jnp.where(sq > rb * rb,
+                          rb / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
+        return jnp.concatenate([(vb * scale).reshape(mb),
+                                jnp.minimum(v[mb:], 0.0)])
 
-    def apply_gt(vb, vh):
-        return (jnp.einsum('bipd,bi->pd', gb, vb)
-                + jnp.einsum('hpd,h->pd', gh, vh))
+    z0 = project_flat(g_all @ x_flat0 + b_all)
 
-    yb0, yh0 = apply_g(x_init)
-    zb0, zh0 = _project(yb0, rb, yh0)
+    if config.use_pallas:
+        x_fin_flat, z_fin, u_fin, rho, prim_res, dual_res = _run_stages_pallas(
+            config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
+            x_flat0, z0, n_ball, n_half, nfd)
+    else:
+        x_fin_flat, z_fin, u_fin, rho, prim_res, dual_res = _run_stages_xla(
+            config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
+            x_flat0, z0, project_flat, dtype)
 
-    def make_step(chol, rho):
-        def step(carry, _):
-            x, zb, zh, ub, uh = carry
-            rhs = -q_eq + rho * apply_gt(zb - ub - bb, zh - uh - bh)
-            x_new = jax.scipy.linalg.cho_solve(
-                chol, rhs.reshape(nfd)).reshape(n_free, dim)
-            yb, yh = apply_g(x_new)
-            yb_rel = config.alpha * yb + (1 - config.alpha) * zb
-            yh_rel = config.alpha * yh + (1 - config.alpha) * zh
-            zb_new, zh_new = _project(yb_rel + ub, rb, yh_rel + uh)
-            ub_new = ub + yb_rel - zb_new
-            uh_new = uh + yh_rel - zh_new
-            # Residuals (scaled space).
-            prim = jnp.maximum(jnp.max(jnp.abs(yb - zb_new)),
-                               jnp.max(jnp.abs(yh - zh_new)))
-            dual = rho * jnp.max(jnp.abs(
-                apply_gt(zb_new - zb, zh_new - zh)))
-            return (x_new, zb_new, zh_new, ub_new, uh_new), (prim, dual)
-        return step
-
-    rho = jnp.asarray(config.rho, dtype)
-    state = (x_init, zb0, zh0, jnp.zeros_like(zb0), jnp.zeros_like(zh0))
-    prim_res = jnp.asarray(jnp.inf, dtype)
-    dual_res = jnp.asarray(jnp.inf, dtype)
-    for stage in range(config.n_stages):
-        kkt = p_big + rho * gtg + config.sigma * eye_kkt
-        chol = jax.scipy.linalg.cho_factor(kkt, lower=True)
-        # Rescale duals for the new rho: u stores scaled duals nu/rho.
-        state, (prims, duals) = jax.lax.scan(
-            make_step(chol, rho), state, None, length=config.n_iters)
-        prim_res, dual_res = prims[-1], duals[-1]
-        if stage + 1 < config.n_stages:
-            # Residual balancing (OSQP section 5.2): rho <- rho sqrt(rp/rd),
-            # duals u = nu/rho rescale inversely.
-            ratio = jnp.sqrt(jnp.maximum(prim_res, 1e-30)
-                             / jnp.maximum(dual_res, 1e-30))
-            new_rho = jnp.clip(rho * ratio, config.rho_min, config.rho_max)
-            x_c, zb_c, zh_c, ub_c, uh_c = state
-            scale_u = rho / new_rho
-            state = (x_c, zb_c, zh_c, ub_c * scale_u, uh_c * scale_u)
-            rho = new_rho
-
-    x_fin, zb, zh, ub, uh = state
+    ub = u_fin[:mb].reshape(3, n_ball).T
+    uh = u_fin[mb:]
     converged = (prim_res < config.eps_primal) & (dual_res < config.eps_dual)
 
-    d_free = x_fin * d_scale[:, None]                     # unscale
+    d_free = x_fin_flat.reshape(n_free, dim) * d_scale[:, None]   # unscale
 
     # Outputs: coefficients + true-space violation check.
     sol = linear.solve_linear_with_free(structure, d_fixed, d_free, times)

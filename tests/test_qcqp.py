@@ -244,3 +244,71 @@ def test_qcqp_kkt_certificate():
         if lam > 1e-6 * scale:
             cos = nu_b[b] @ yb[b] / (lam * np.linalg.norm(yb[b]) + 1e-30)
             assert cos > 0.99, (b, cos)
+
+
+# ---------------------------------------------------------------------------
+# Interior-point backend (solver/ipm.py).
+# ---------------------------------------------------------------------------
+
+def test_ipm_matches_admm_and_kkt():
+    from mav_tube_trajectory_generation_tpu.solver import ipm
+    for (k, seed, r) in [(3, 11, 0.5), (4, 3, 0.4), (8, 5, 0.5)]:
+        structure, d_fixed, times, waypoints, _ = make_problem(k=k, seed=seed)
+        radii = jnp.full((structure.n_segments, 2), r)
+        s_admm = qcqp.solve_qcqp(structure, d_fixed, times, waypoints, radii,
+                                 config=qcqp.ADMMConfig(n_stages=5,
+                                                        n_iters=400))
+        s_ipm = ipm.solve_qcqp_ipm(structure, d_fixed, times, waypoints, radii)
+        assert bool(s_ipm.converged), (k, seed)
+        assert float(s_ipm.max_violation) < 1e-6
+        # IPM must be at least as good as converged ADMM (it is strictly
+        # better on fixtures where ADMM's tail is slow).
+        assert float(s_ipm.cost) <= float(s_admm.cost) * (1 + 1e-6)
+        viol = constraint_violation(structure, s_ipm, waypoints, radii)
+        assert viol < 1e-6, viol
+
+
+def test_ipm_reports_infeasible():
+    from mav_tube_trajectory_generation_tpu.solver import ipm
+    structure, d_fixed, times, waypoints, _ = make_problem(k=4, seed=3)
+    radii = jnp.full((structure.n_segments, 2), 1e-4)   # impossible tubes
+    s = ipm.solve_qcqp_ipm(structure, d_fixed, times, waypoints, radii)
+    assert not bool(s.converged)
+    assert float(s.max_violation) > 1e-3
+    assert np.all(np.isfinite(np.asarray(s.d_free)))
+
+
+def test_ipm_vmap():
+    from mav_tube_trajectory_generation_tpu.solver import ipm
+    structure, d_fixed, times, waypoints, _ = make_problem(k=4, seed=3)
+    radii_batch = jnp.stack([jnp.full((structure.n_segments, 2), r)
+                             for r in (0.4, 0.8, 50.0)])
+    out = jax.vmap(lambda r: ipm.solve_qcqp_ipm(
+        structure, d_fixed, times, waypoints, r))(radii_batch)
+    costs = np.asarray(out.cost)
+    assert costs[0] >= costs[1] >= costs[2] - 1e-9
+    unc = mtg.solve_linear(structure, d_fixed, times)
+    assert costs[2] == pytest.approx(float(unc.cost), rel=1e-4)
+
+
+def test_admm_pallas_interpret_matches_xla():
+    """The Pallas kernel path (interpret mode on CPU) must agree with the
+    XLA scan path."""
+    import mav_tube_trajectory_generation_tpu.ops.admm_kernel as ak
+    structure, d_fixed, times, waypoints, _ = make_problem(k=4, seed=3)
+    radii = jnp.full((structure.n_segments, 2), 0.6)
+    d32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+    args = (d32(d_fixed), d32(times), d32(waypoints), d32(radii))
+    cfg_x = qcqp.ADMMConfig(n_stages=2, n_iters=50)
+    cfg_p = qcqp.ADMMConfig(n_stages=2, n_iters=50, use_pallas=True)
+    sx = qcqp.solve_qcqp(structure, args[0], args[1], args[2], args[3],
+                         config=cfg_x)
+    orig = ak.admm_stage
+    ak.admm_stage = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        sp = qcqp.solve_qcqp(structure, args[0], args[1], args[2], args[3],
+                             config=cfg_p)
+    finally:
+        ak.admm_stage = orig
+    np.testing.assert_allclose(np.asarray(sp.d_free), np.asarray(sx.d_free),
+                               rtol=1e-2, atol=1e-3)
