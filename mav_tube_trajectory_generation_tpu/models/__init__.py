@@ -1,1 +1,1 @@
-from . import vertex, trajectory, esdf
+from . import vertex, segment, trajectory, esdf

@@ -1,0 +1,96 @@
+"""Tests for scenario-parallel execution on a (virtual) 8-device mesh.
+
+The conftest forces --xla_force_host_platform_device_count=8 on CPU, so these
+exercise real shard_map partitioning + psum collectives without TPU hardware
+(SURVEY.md section 5.8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mav_tube_trajectory_generation_tpu as mtg
+from mav_tube_trajectory_generation_tpu.parallel import mesh as pmesh
+from mav_tube_trajectory_generation_tpu.solver import structure as sm
+
+N = 10
+H = 5
+
+
+def make_batch(batch, k=10, dim=3, seed=0):
+    rng = np.random.RandomState(seed)
+    structure = sm.make_structure(sm.standard_mask(k + 1, N), dim, N)
+    waypoints = np.cumsum(rng.uniform(0.5, 2.0, size=(batch, k + 1, dim)),
+                          axis=1)
+    values = np.zeros((batch, k + 1, H, dim))
+    values[:, :, 0, :] = waypoints
+    times = np.asarray(mtg.segment_times_nfabian(waypoints, 3.0, 5.0))
+    d_fixed = np.asarray(mtg.extract_fixed_values(structure,
+                                                  jnp.asarray(values)))
+    return structure, jnp.asarray(d_fixed), jnp.asarray(times)
+
+
+def test_mesh_has_8_devices():
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_solve_matches_vmap():
+    structure, d_fixed, times = make_batch(16)
+    mesh = pmesh.make_mesh()
+    sol, metrics = jax.jit(
+        lambda a, b: pmesh.solve_linear_sharded(structure, mesh, a, b)
+    )(d_fixed, times)
+    ref = jax.vmap(lambda a, b: mtg.solve_linear(structure, a, b))(
+        d_fixed, times)
+    np.testing.assert_allclose(np.asarray(sol.coefficients),
+                               np.asarray(ref.coefficients),
+                               rtol=1e-9, atol=1e-10)
+    # psum'd metrics.
+    assert float(metrics.n_scenarios) == 16
+    assert float(metrics.n_finite) == 16
+    assert float(metrics.total_cost) == pytest.approx(
+        float(jnp.sum(ref.cost)), rel=1e-9)
+    assert float(metrics.max_cost) == pytest.approx(
+        float(jnp.max(ref.cost)), rel=1e-9)
+
+
+def test_sharded_output_is_sharded():
+    structure, d_fixed, times = make_batch(8)
+    mesh = pmesh.make_mesh()
+    sol, _ = jax.jit(
+        lambda a, b: pmesh.solve_linear_sharded(structure, mesh, a, b)
+    )(d_fixed, times)
+    # One scenario per device.
+    shard_shapes = {s.data.shape for s in sol.coefficients.addressable_shards}
+    assert shard_shapes == {(1, 10, 10, 3)}
+
+
+def test_pad_batch():
+    assert pmesh.pad_batch(13, 8) == 16
+    assert pmesh.pad_batch(16, 8) == 16
+    assert pmesh.pad_batch(1, 8) == 8
+
+
+def test_shard_scenarios_generic_wrapper():
+    structure, d_fixed, times = make_batch(16)
+    mesh = pmesh.make_mesh()
+
+    def per_shard(df, t):
+        sol = jax.vmap(lambda a, b: mtg.solve_linear(structure, a, b))(df, t)
+        return sol.cost
+
+    fn = pmesh.shard_scenarios(per_shard, mesh, 2)
+    costs = jax.jit(fn)(d_fixed, times)
+    ref = jax.vmap(lambda a, b: mtg.solve_linear(structure, a, b))(
+        d_fixed, times).cost
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref), rtol=1e-9)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == (16,)
+    ge.dryrun_multichip(8)

@@ -1,0 +1,125 @@
+"""Tests for the timing registry, export, checkpointing, and segment API."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mav_tube_trajectory_generation_tpu as mtg
+from mav_tube_trajectory_generation_tpu.models import segment as seg_mod
+from mav_tube_trajectory_generation_tpu.utils import (timing, export,
+                                                      checkpointing)
+
+N, H = 10, 5
+
+
+def make_traj(k=3, dim=3, seed=1):
+    verts = mtg.create_random_vertices(H - 1, k, np.zeros(dim),
+                                       5 * np.ones(dim), seed)
+    structure, values = mtg.structure_from_vertices(verts, N, mtg.SNAP)
+    times = jnp.asarray(mtg.estimate_segment_times(verts, 2.0, 2.0))
+    d_fixed = mtg.extract_fixed_values(structure, jnp.asarray(values))
+    sol = mtg.solve_linear(structure, d_fixed, times)
+    return mtg.Trajectory(sol.coefficients, sol.times)
+
+
+def test_timer_registry():
+    timing.Timing.reset()
+    with timing.Timer("test/tag"):
+        x = sum(range(1000))
+    assert timing.Timing.get_num_samples("test/tag") == 1
+    assert timing.Timing.get_total("test/tag") > 0
+    t = timing.Timer("test/manual", construct_stopped=True)
+    assert not t.is_timing()
+    t.start()
+    assert t.is_timing()
+    t.stop()
+    assert timing.Timing.get_num_samples("test/manual") == 1
+    report = timing.Timing.print()
+    assert "test/tag" in report
+    timing.Timing.reset()
+    assert timing.Timing.get_num_samples("test/tag") == 0
+
+
+def test_accumulator_stats():
+    acc = timing.Accumulator(window=3)
+    for v in [1.0, 2.0, 3.0, 4.0]:
+        acc.add(v)
+    assert acc.count == 4
+    assert acc.total == 10.0
+    assert acc.rolling_mean == pytest.approx(3.0)   # window [2,3,4]
+    assert acc.min == 1.0 and acc.max == 4.0
+    assert acc.std == pytest.approx(1.0)
+
+
+def test_dummy_timer():
+    with timing.DummyTimer("x"):
+        pass
+
+
+def test_matlab_export_roundtrip():
+    traj = make_traj()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "traj.txt")
+        export.write_matlab_sampled_trajectory(traj, path, dt=0.25)
+        data = np.loadtxt(path)
+    assert data.shape[1] == 1 + 5 * 3    # t + 5 derivatives x 3 dims
+    # First row at t=0 must equal the start position.
+    start = np.asarray(mtg.evaluate(traj, 0.0, 0))[0]
+    np.testing.assert_allclose(data[0, 1:4], start, atol=1e-9)
+    # Velocity columns match evaluation.
+    v = np.asarray(mtg.evaluate(traj, float(data[3, 0]), 1))[0]
+    np.testing.assert_allclose(data[3, 4:7], v, atol=1e-8)
+
+
+def test_npz_trajectory_roundtrip():
+    traj = make_traj()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "traj.npz")
+        export.save_trajectories(path, traj, cost=np.asarray([1.0]))
+        back = export.load_trajectories(path)
+    np.testing.assert_allclose(np.asarray(back.coefficients),
+                               np.asarray(traj.coefficients))
+    np.testing.assert_allclose(np.asarray(back.times), np.asarray(traj.times))
+
+
+def test_pytree_checkpoint_roundtrip():
+    tree = {"a": jnp.arange(5.0), "b": (jnp.ones((2, 3)), jnp.asarray(2))}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        checkpointing.save_pytree(path, tree)
+        back = checkpointing.load_pytree(path, tree)
+    np.testing.assert_allclose(np.asarray(back["a"]), np.arange(5.0))
+    np.testing.assert_allclose(np.asarray(back["b"][0]), np.ones((2, 3)))
+
+
+def test_segment_evaluate():
+    traj = make_traj()
+    coeffs0 = traj.coefficients[0]
+    t = 0.37
+    ours = np.asarray(seg_mod.evaluate(coeffs0, t, 1))
+    oracle = [np.polynomial.Polynomial(np.asarray(coeffs0)[:, d]).deriv(1)(t)
+              for d in range(3)]
+    np.testing.assert_allclose(ours, oracle, rtol=1e-10)
+
+
+def test_segment_minmax_magnitude():
+    traj = make_traj()
+    mins, maxs = seg_mod.min_max_magnitude_single(
+        traj.coefficients[0], traj.times[0], 1)
+    ts = np.linspace(0, float(traj.times[0]), 50001)
+    vals = np.asarray(seg_mod.evaluate(traj.coefficients[0],
+                                       jnp.asarray(ts), 1))
+    mags = np.linalg.norm(vals, axis=-1)
+    assert float(maxs.value) == pytest.approx(mags.max(), rel=1e-5)
+    assert float(mins.value) == pytest.approx(mags.min(), rel=1e-3, abs=1e-6)
+
+
+def test_segment_dimension_ops():
+    traj = make_traj()
+    sub = seg_mod.get_segment_dimension(traj.coefficients[0], [0, 2])
+    assert sub.shape == (N, 2)
+    both = seg_mod.append_dimensions(sub, traj.coefficients[0][:, 1:2])
+    assert both.shape == (N, 3)
