@@ -70,7 +70,7 @@ def main():
     batch = 8192
     std, free, df_std, df_free, times, waypoints, radii = make_inputs(k, batch)
 
-    admm = qcqp.ADMMConfig(n_stages=2, n_iters=40)
+    admm = qcqp.ADMMConfig(n_stages=2, n_iters=40, use_pallas=True)
 
     std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}
     std_col.update({tuple(c): std.n_fixed + i
@@ -114,6 +114,25 @@ def main():
             dt_k, _ = time_fn(f, (dfk, tk), n_iters=5)
             print(f"[bench] linear K={k_sweep}: {2048/dt_k:,.0f} solves/s",
                   file=sys.stderr)
+
+        # BASELINE config 5: batch solve + extrema feasibility checks via
+        # batched root-finding.
+        from mav_tube_trajectory_generation_tpu.models import trajectory as tj
+
+        def solve_and_check(df, t):
+            sol = linear.solve_linear(std, df, t)
+            traj = tj.Trajectory(sol.coefficients, sol.times)
+            vmax = tj.max_magnitude(traj, 1, n_grid=64).value
+            amax = tj.max_magnitude(traj, 2, n_grid=64).value
+            # Reference slack: 2.5x the heuristic's v/a bounds
+            # (TimeAllocation test, test_polynomial_optimization.cpp:572-613).
+            return vmax, amax, (vmax <= 3.0 * 2.5) & (amax <= 5.0 * 2.5)
+
+        f5 = jax.jit(jax.vmap(solve_and_check))
+        dt5, out5 = time_fn(f5, (df_std, times), n_iters=5)
+        print(f"[bench] solve+extrema feasibility: {batch/dt5:,.0f} "
+              f"scenarios/s (median vmax {float(jnp.median(out5[0])):.2f}, "
+              f"amax {float(jnp.median(out5[1])):.2f})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "trajectory solves/s/chip (10-seg min-snap QP+QCQP)",

@@ -30,7 +30,9 @@ from .solver.structure import (ProblemStructure, make_structure,
                                standard_mask, free_interior_mask)
 from .solver.linear import (LinearSolution, solve_linear,
                             solve_linear_with_free, extract_fixed_values,
-                            assemble_r, derivative_cost_and_grad)
+                            assemble_r, derivative_cost_and_grad,
+                            compact_from_segment_derivatives,
+                            solve_from_positions)
 from .solver.qcqp import (ADMMConfig, QCQPSolution, solve_qcqp,
                           position_constrained_warmstart)
 from .solver.ipm import IPMConfig, solve_qcqp_ipm

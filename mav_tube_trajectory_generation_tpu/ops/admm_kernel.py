@@ -1,27 +1,26 @@
-"""Pallas TPU kernel for the ADMM inner loop of the tube QCQP.
+"""Pallas TPU kernel for the ADMM inner loop: VPU broadcast-reduce matvecs.
 
 Why a kernel: one ADMM stage runs n_iters sequential iterations, each needing
-the per-scenario matrices A1 = (W G^T)^T and A2 = G^T (~0.5 MB/scenario).
-The XLA scan re-streams both matrices from HBM every iteration
-(~2 GB/iteration at batch 4096), making the solver HBM-bandwidth-bound.
-This kernel pins a scenario's matrices in VMEM once and runs the whole
-stage's iterations on-chip, cutting HBM traffic by ~n_iters x.
+the per-scenario matrices (~0.35 MB each).  The XLA scan re-streams both from
+HBM every iteration (~GBs/iteration at batch 8192), making the solver
+HBM-bandwidth-bound; here they stay VMEM-resident for the whole stage.
 
-Layout (all padded to lane multiples of 128):
-  x (free variables, flattened):       row vector (1, nfd_p)
-  constraint vector z/u/b:             row vector (1, m_p),
-      m_p = 3 * nb_p + nh_p laid out **component-major**:
-      [ball-x (nb_p) | ball-y (nb_p) | ball-z (nb_p) | halfspace (nh_p)]
-      so the ball projection is three aligned lane slices -- no reshapes.
-  A1 = wgt^T (m_p, nfd_p):   x-update   x = xq + rho * (v @ A1)
-  A2 = g^T  (nfd_p, m_p):    y-update   y = x @ A2 + b
+A naive MXU formulation (jnp.dot with a 1-row operand) wastes 7/8 of the
+systolic array's sublanes and pads nfd to a 256-lane multiple.  Instead both
+matvecs are elementwise broadcast-multiplies followed by lane/sublane
+reductions on the VPU, with BOTH matrices stored in the same (nfd_p, m_p)
+orientation:
 
-Padding is benign by construction: padded G rows/cols are zero, padded ball
-radii are 1 with y = 0 (inside the ball), padded half rows have y = 0
-(feasible), so padded entries stay exactly 0 through every iteration.
+    x_col (nfd_p, 1) = sum_lanes   ( M1 (nfd_p, m_p) * v_row (1, m_p) )
+    y_row (1, m_p)   = sum_sublane ( Gt (nfd_p, m_p) * x_col (nfd_p, 1) )
 
-The iteration math matches the XLA scan path in solver/qcqp.py line for
-line (over-relaxation alpha, scaled duals u); tests assert both paths agree.
+where M1 = wgt (the KKT-inverse-times-G^T) and Gt = G^T.  The alternating
+row/column vector orientation means no transposes anywhere, nfd pads to a
+sublane multiple (136) instead of a lane multiple (256), and each matrix is
+348 KB -- both stay VMEM-resident for the whole stage.
+
+Constraint vector layout (lanes): [ball-x | ball-y | ball-z | halfspace],
+each plane padded to a 128 multiple, exactly as v1.
 """
 
 from __future__ import annotations
@@ -38,16 +37,15 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _admm_stage_kernel(rho_ref, a1_ref, a2_ref, b_ref, rb_ref, xq_ref,
-                       z0_ref, u0_ref,
-                       x_out, z_out, zp_out, u_out, prim_out,
-                       *, n_iters: int, alpha: float, nb_p: int):
+def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
+            x_out, z_out, zp_out, u_out, prim_out,
+            *, n_iters: int, alpha: float, nb_p: int):
     rho = rho_ref[0, 0]
-    a1 = a1_ref[:]                       # (m_p, nfd_p)
-    a2 = a2_ref[:]                       # (nfd_p, m_p)
-    b = b_ref[:]                         # (1, m_p)
-    rb = rb_ref[:]                       # (1, nb_p)
-    xq = xq_ref[:]                       # (1, nfd_p)
+    m1 = m1_ref[:]                        # (nfd_p, m_p) == wgt
+    gt = gt_ref[:]                        # (nfd_p, m_p) == G^T
+    b = b_ref[:]                          # (1, m_p)
+    rb = rb_ref[:]                        # (1, nb_p)
+    xq = xq_ref[:]                        # (nfd_p, 1) column!
 
     def project(w):
         wx = w[:, 0:nb_p]
@@ -55,18 +53,16 @@ def _admm_stage_kernel(rho_ref, a1_ref, a2_ref, b_ref, rb_ref, xq_ref,
         wz = w[:, 2 * nb_p:3 * nb_p]
         sq = wx * wx + wy * wy + wz * wz
         scale = jnp.where(
-            sq > rb * rb,
-            rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 1.0)
+            sq > rb * rb, rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 1.0)
         zh = jnp.minimum(w[:, 3 * nb_p:], 0.0)
         return jnp.concatenate(
             [wx * scale, wy * scale, wz * scale, zh], axis=1)
 
     def body(_, carry):
         x, z, zp, u, prim = carry
-        v = z - u - b
-        x_new = xq + rho * jnp.dot(v, a1,
-                                   preferred_element_type=jnp.float32)
-        y = jnp.dot(x_new, a2, preferred_element_type=jnp.float32) + b
+        v = z - u - b                                     # (1, m_p)
+        x_new = xq + rho * jnp.sum(m1 * v, axis=1, keepdims=True)
+        y = jnp.sum(gt * x_new, axis=0, keepdims=True) + b
         y_rel = alpha * y + (1.0 - alpha) * z
         z_new = project(y_rel + u)
         u_new = u + y_rel - z_new
@@ -85,49 +81,34 @@ def _admm_stage_kernel(rho_ref, a1_ref, a2_ref, b_ref, rb_ref, xq_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
                                              "interpret"))
-def admm_stage(rho, a1, a2, b, rb, xq, z0, u0, *,
-               n_iters: int, alpha: float, nb_p: int,
-               interpret: bool = False):
-    """One ADMM stage fully on-chip.  Single scenario; vmap for batches
-    (vmap turns the pallas_call into a grid over scenarios, which is exactly
-    the VMEM-resident pipeline we want).
+def admm_stage(rho, m1, gt, b, rb, xq, z0, u0, *,
+                  n_iters: int, alpha: float, nb_p: int,
+                  interpret: bool = False):
+    """One ADMM stage on-chip, VPU formulation.  Single scenario; vmap to
+    batch (adds a grid axis).
 
     Args:
-      rho: (1, 1) penalty.
-      a1: (m_p, nfd_p), a2: (nfd_p, m_p), b: (1, m_p), rb: (1, nb_p),
-      xq: (1, nfd_p), z0/u0: (1, m_p).
+      rho: (1, 1).  m1/gt: (nfd_p, m_p).  b: (1, m_p).  rb: (1, nb_p).
+      xq: (nfd_p, 1) COLUMN.  z0/u0: (1, m_p).
 
     Returns:
-      (x (1, nfd_p), z, z_prev, u (1, m_p), prim (1, 1)).
+      (x (nfd_p, 1), z, z_prev, u (1, m_p), prim (1, 1)).
     """
-    m_p, nfd_p = a1.shape
-    kernel = functools.partial(_admm_stage_kernel, n_iters=n_iters,
-                               alpha=alpha, nb_p=nb_p)
+    nfd_p, m_p = m1.shape
+    kernel = functools.partial(_kernel, n_iters=n_iters, alpha=alpha,
+                               nb_p=nb_p)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((1, nfd_p), jnp.float32),
+            jax.ShapeDtypeStruct((nfd_p, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, m_p), jnp.float32),
             jax.ShapeDtypeStruct((1, m_p), jnp.float32),
             jax.ShapeDtypeStruct((1, m_p), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 7,
+        out_specs=(vmem, vmem, vmem, vmem,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=interpret,
-    )(rho, a1, a2, b, rb, xq, z0, u0)
+    )(rho, m1, gt, b, rb, xq, z0, u0)

@@ -181,6 +181,57 @@ def derivative_cost_and_grad(structure: ProblemStructure,
     return jf + jc + jp, grad
 
 
+def compact_from_segment_derivatives(structure: ProblemStructure,
+                                     d_seg: jnp.ndarray) -> jnp.ndarray:
+    """M^+ d_seg: recover the compact [d_f; d_p] vector from per-segment
+    endpoint derivatives by averaging duplicated interior entries.
+
+    The reference's row-normalized pseudo-inverse getMpinv
+    (linear_impl.h:547-555) -- valid because M is 0/1 with row sums equal to
+    the duplication count.  Exact inverse of ``segment_derivatives`` for any
+    continuity-consistent d_seg (packing round-trip test,
+    test_polynomial_optimization.cpp:511-570).
+    """
+    d_seg = jnp.asarray(d_seg)
+    k, n = structure.gather_idx.shape
+    counts = np.bincount(structure.gather_idx.ravel(),
+                         minlength=structure.n_total).astype(np.float64)
+    flat_idx = jnp.asarray(structure.gather_idx.reshape(k * n))
+    batch = d_seg.shape[:-3]
+    d_flat = d_seg.reshape(batch + (k * n, d_seg.shape[-1]))
+    summed = jnp.zeros(batch + (structure.n_total, d_seg.shape[-1]),
+                       d_seg.dtype).at[..., flat_idx, :].add(d_flat)
+    return summed / jnp.asarray(counts, d_seg.dtype)[..., :, None]
+
+
+def solve_from_positions(positions, times, n_coefficients: int = 10,
+                         derivative_to_optimize: Optional[int] = None):
+    """Convenience one-call solve from a plain position list.
+
+    The reference's setupFromPositons (linear.h:79-80): endpoints pinned to
+    rest up to N/2-1, interior vertices position-only.
+
+    Args:
+      positions: (V, D) waypoint positions (host array).
+      times: (V-1,) segment times.
+
+    Returns:
+      (ProblemStructure, LinearSolution).
+    """
+    from .structure import make_structure, standard_mask
+    positions = np.asarray(positions, dtype=np.float64)
+    if positions.ndim == 1:
+        positions = positions[:, None]
+    v, dim = positions.shape
+    n = n_coefficients
+    structure = make_structure(standard_mask(v, n), dim, n,
+                               derivative_to_optimize)
+    values = np.zeros((v, n // 2, dim))
+    values[:, 0, :] = positions
+    d_fixed = extract_fixed_values(structure, jnp.asarray(values))
+    return structure, solve_linear(structure, d_fixed, jnp.asarray(times))
+
+
 def extract_fixed_values(structure: ProblemStructure,
                          vertex_values: jnp.ndarray) -> jnp.ndarray:
     """Build d_fixed (n_fixed, D) from a dense (V, N/2, D) vertex-value array.

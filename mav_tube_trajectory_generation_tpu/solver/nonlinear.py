@@ -120,6 +120,21 @@ class NonlinearResult(NamedTuple):
     n_iterations: int
 
 
+def format_result(res: "NonlinearResult") -> str:
+    """Printable report (OptimizationInfo::print, nonlinear_impl.h:29-47)."""
+    c, c0 = res.cost, res.initial_cost
+    lines = ["Optimization info:",
+             f"  iterations: {res.n_iterations}",
+             f"  total cost:            {float(c0.total):.6g} -> "
+             f"{float(c.total):.6g}",
+             f"  cost trajectory (J_d): {float(c.trajectory):.6g}",
+             f"  cost collision (J_c):  {float(c.collision):.6g}",
+             f"  cost time (J_t):       {float(c.time):.6g}",
+             f"  cost soft constraints: {float(c.soft_constraints):.6g}",
+             f"  total time:            {float(jnp.sum(res.times)):.6g}"]
+    return "\n".join(lines)
+
+
 # ---------------------------------------------------------------------------
 # Cost terms.
 # ---------------------------------------------------------------------------

@@ -246,7 +246,8 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
                        x_flat0, z0, n_ball, n_half, nfd):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
-    Works on float32 padded layouts (ops/admm_kernel.py); per-stage rho
+    Works on float32 padded layouts (ops/admm_kernel.py: both matrices in
+    (nfd_p, m_p) orientation, VPU broadcast-reduce matvecs); per-stage rho
     adaptation and the KKT (re)inverse stay in XLA.
     """
     from ..ops import admm_kernel
@@ -255,7 +256,7 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
     nb_p = admm_kernel.round_up(max(n_ball, 1), 128)
     nh_p = admm_kernel.round_up(max(n_half, 1), 128)
     m_p = 3 * nb_p + nh_p
-    nfd_p = admm_kernel.round_up(nfd, 128)
+    nfd_p = admm_kernel.round_up(nfd, 8)
     mb = 3 * n_ball
 
     def pad_m_vector(v):
@@ -272,24 +273,24 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
         return jnp.concatenate(
             parts + [vp[0, 3 * nb_p:3 * nb_p + n_half]]).astype(g_all.dtype)
 
-    def pad_rows(mat):
-        """(m, nfd) -> (m_p, nfd_p) with component-plane row layout."""
-        out = jnp.zeros((m_p, nfd_p), f32)
-        mbk = mat[:mb].reshape(3, n_ball, nfd)
+    def pad_cols(mat):
+        """(nfd, m) -> (nfd_p, m_p) with component-plane column layout."""
+        out = jnp.zeros((nfd_p, m_p), f32)
+        mbk = mat[:, :mb].reshape(nfd, 3, n_ball)
         for c in range(3):
-            out = out.at[c * nb_p:c * nb_p + n_ball, :nfd].set(
-                mbk[c].astype(f32))
-        return out.at[3 * nb_p:3 * nb_p + n_half, :nfd].set(
-            mat[mb:].astype(f32))
+            out = out.at[:nfd, c * nb_p:c * nb_p + n_ball].set(
+                mbk[:, c].astype(f32))
+        return out.at[:nfd, 3 * nb_p:3 * nb_p + n_half].set(
+            mat[:, mb:].astype(f32))
 
-    a2 = pad_rows(g_all).T                                # (nfd_p, m_p)
+    gt_pad = pad_cols(g_all.T)                            # (nfd_p, m_p)
     b_pad = pad_m_vector(b_all)
     rb_pad = jnp.ones((1, nb_p), f32).at[0, :n_ball].set(rb.astype(f32))
 
     rho = jnp.asarray(config.rho, f32)
     z = pad_m_vector(z0)
     u = jnp.zeros_like(z)
-    x = jnp.zeros((1, nfd_p), f32).at[0, :nfd].set(x_flat0.astype(f32))
+    x = jnp.zeros((nfd_p, 1), f32).at[:nfd, 0].set(x_flat0.astype(f32))
     prim_res = jnp.asarray(jnp.inf, f32)
     dual_res = jnp.asarray(jnp.inf, f32)
     for stage in range(config.n_stages):
@@ -297,12 +298,12 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
         w_inv = linalg.spd_inverse(kkt)
         wgt = w_inv @ g_all.T                              # (nfd, m)
         xq = -(w_inv @ q_flat)
-        a1 = pad_rows(wgt.T)                               # (m_p, nfd_p)
-        xq_pad = jnp.zeros((1, nfd_p), f32).at[0, :nfd].set(xq.astype(f32))
+        m1_pad = pad_cols(wgt)                             # (nfd_p, m_p)
+        xq_pad = jnp.zeros((nfd_p, 1), f32).at[:nfd, 0].set(xq.astype(f32))
         x, z, z_prev, u, prim = admm_kernel.admm_stage(
-            jnp.reshape(rho, (1, 1)).astype(f32), a1, a2, b_pad, rb_pad,
-            xq_pad, z, u, n_iters=config.n_iters, alpha=config.alpha,
-            nb_p=nb_p)
+            jnp.reshape(rho, (1, 1)).astype(f32), m1_pad, gt_pad, b_pad,
+            rb_pad, xq_pad, z, u, n_iters=config.n_iters,
+            alpha=config.alpha, nb_p=nb_p)
         prim_res = prim[0, 0]
         dz = unpad_m_vector(z) - unpad_m_vector(z_prev)
         dual_res = rho * jnp.max(jnp.abs(g_all.T @ dz)).astype(f32)
@@ -313,7 +314,7 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
             u = u * (rho / new_rho)
             rho = new_rho
 
-    x_fin = x[0, :nfd].astype(g_all.dtype)
+    x_fin = x[:nfd, 0].astype(g_all.dtype)
     return (x_fin, unpad_m_vector(z), unpad_m_vector(u),
             rho.astype(g_all.dtype), prim_res.astype(g_all.dtype),
             dual_res.astype(g_all.dtype))

@@ -265,3 +265,40 @@ def test_derivative_cost_and_grad_consistency():
     _, grad_opt = linear.derivative_cost_and_grad(
         structure, d_fixed, sol.d_free, times)
     assert float(jnp.max(jnp.abs(grad_opt))) < 1e-5
+
+
+def test_packing_roundtrip():
+    """d -> segment derivatives -> M^+ -> d round trip
+    (ConstraintPacking, test_polynomial_optimization.cpp:511-570)."""
+    dim, k = 3, 6
+    verts = mtg.create_random_vertices(H - 1, k, -5 * np.ones(dim),
+                                       5 * np.ones(dim), seed=17)
+    structure, values = mtg.structure_from_vertices(verts, N, mtg.SNAP)
+    times = jnp.asarray(mtg.estimate_segment_times(verts, 3.0, 5.0))
+    d_fixed = mtg.extract_fixed_values(structure, jnp.asarray(values))
+    sol = mtg.solve_linear(structure, d_fixed, times)
+    d_seg = linear.segment_derivatives(structure, sol.d_fixed, sol.d_free)
+    compact = mtg.compact_from_segment_derivatives(structure, d_seg)
+    expect = jnp.concatenate([sol.d_fixed, sol.d_free], axis=-2)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(expect),
+                               rtol=1e-10, atol=1e-12)
+
+    # And through the coefficients: d_all = M^+ A p (the reference's
+    # re-seeding identity, nonlinear_impl.h:199-272).
+    from mav_tube_trajectory_generation_tpu.ops import qmatrix
+    d_seg_back = qmatrix.endpoint_derivatives_from_coefficients(
+        sol.coefficients, times)
+    compact2 = mtg.compact_from_segment_derivatives(structure, d_seg_back)
+    np.testing.assert_allclose(np.asarray(compact2), np.asarray(expect),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_solve_from_positions():
+    """setupFromPositons convenience path (linear.h:79-80)."""
+    positions = np.array([[0.0], [2.0], [5.0]])
+    structure, sol = mtg.solve_from_positions(positions, [1.5, 2.0])
+    coeffs = np.asarray(sol.coefficients)
+    check_path(structure.fixed_mask,
+               np.concatenate([positions[:, None, :],
+                               np.zeros((3, 4, 1))], axis=1),
+               coeffs, [1.5, 2.0])
