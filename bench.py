@@ -107,13 +107,20 @@ def main():
           f"median viol {float(jnp.median(viol)):.2e}", file=sys.stderr)
 
     if not quick:
-        # Reference timing-sweep shapes (linear QP only).
+        # Reference timing-sweep shapes (linear QP only).  K >= 50 also runs
+        # the O(K log K) block-tridiagonal cyclic-reduction path.
+        from mav_tube_trajectory_generation_tpu.solver import banded
         for k_sweep in (2, 10, 50, 100):
             stdk, _, dfk, _, tk, _, _ = make_inputs(k_sweep, 2048, seed=1)
             f = jax.jit(jax.vmap(lambda a, b: linear.solve_linear(stdk, a, b)))
             dt_k, _ = time_fn(f, (dfk, tk), n_iters=5)
-            print(f"[bench] linear K={k_sweep}: {2048/dt_k:,.0f} solves/s",
-                  file=sys.stderr)
+            line = f"[bench] linear K={k_sweep}: {2048/dt_k:,.0f} solves/s"
+            if k_sweep >= 50:
+                fb = jax.jit(jax.vmap(
+                    lambda a, b: banded.solve_linear_banded(stdk, a, b)))
+                dt_b, _ = time_fn(fb, (dfk, tk), n_iters=5)
+                line += f" (banded: {2048/dt_b:,.0f})"
+            print(line, file=sys.stderr)
 
         # BASELINE config 5: batch solve + extrema feasibility checks via
         # batched root-finding.

@@ -35,6 +35,7 @@ from .solver.linear import (LinearSolution, solve_linear,
                             solve_from_positions)
 from .solver.qcqp import (ADMMConfig, QCQPSolution, solve_qcqp,
                           position_constrained_warmstart)
+from .solver.banded import solve_linear_banded, block_tridiag_solve
 from .solver.ipm import IPMConfig, solve_qcqp_ipm
 from .solver.nonlinear import (Objective, CostWeights, MagnitudeConstraint,
                                NonlinearParameters, NonlinearResult,

@@ -1,1 +1,1 @@
-from . import structure, linear, qcqp, ipm, nonlinear
+from . import structure, linear, banded, qcqp, ipm, nonlinear
