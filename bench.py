@@ -70,7 +70,10 @@ def main():
     batch = 8192
     std, free, df_std, df_free, times, waypoints, radii = make_inputs(k, batch)
 
-    admm = qcqp.ADMMConfig(n_stages=2, n_iters=40, use_pallas=True)
+    # rho tuned for warm-started scenarios: median cost within ~1% of a
+    # 1600-iteration reference solve while staying fully feasible.
+    admm = qcqp.ADMMConfig(rho=0.003, n_stages=2, n_iters=40,
+                           use_pallas=True)
 
     std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}
     std_col.update({tuple(c): std.n_fixed + i
