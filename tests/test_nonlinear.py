@@ -152,3 +152,52 @@ def test_vmapped_nonlinear_optimize():
         structure, df, t, params))(batch_df, batch_t)
     assert res.cost.total.shape == (3,)
     assert np.all(np.isfinite(np.asarray(res.cost.total)))
+
+
+def test_time_objective_with_qcqp_inner():
+    """TIME objective re-solving the tube QCQP per evaluation (the
+    reference's objectiveFunctionTime path, stack 3.4 of SURVEY.md)."""
+    from mav_tube_trajectory_generation_tpu.solver import qcqp as qcqp_mod
+    k = 3
+    rng = np.random.RandomState(5)
+    waypoints = np.cumsum(rng.uniform(0.8, 1.5, size=(k + 1, 3)), axis=0)
+    structure = sm.make_structure(sm.free_interior_mask(k + 1, N), 3, N)
+    values = np.zeros((k + 1, H, 3))
+    values[0, 0] = waypoints[0]
+    values[-1, 0] = waypoints[-1]
+    d_fixed = mtg.extract_fixed_values(structure, jnp.asarray(values))
+    times = jnp.asarray(mtg.segment_times_nfabian(waypoints, 2.0, 2.0))
+    radii = jnp.full((k, 2), 0.6)
+    params = nonlinear.NonlinearParameters(
+        objective=nonlinear.Objective.TIME, max_iterations=12,
+        time_penalty=100.0, use_soft_constraints=False)
+    res = nonlinear.optimize(
+        structure, d_fixed, times, params, waypoints=jnp.asarray(waypoints),
+        radii=radii,
+        admm_config=qcqp_mod.ADMMConfig(rho=0.01, n_stages=2, n_iters=60))
+    assert float(res.cost.total) <= 1.1 * float(res.initial_cost.total)
+    assert np.all(np.isfinite(np.asarray(res.coefficients)))
+
+
+def test_collision_and_time_joint_objective():
+    structure, d_fixed, times, _ = build(k=2, seed=11)
+    occ = mtg.make_obstacle_grid((16, 16, 16), (0, 0, 0), 0.4, spheres=[
+        ((3.0, 3.0, 3.0), 0.5)])
+    field = mtg.esdf_from_occupancy(occ, (0, 0, 0), 0.4, dtype=jnp.float64)
+    params = nonlinear.NonlinearParameters(
+        objective=nonlinear.Objective.FREE_CONSTRAINTS_AND_COLLISION_AND_TIME,
+        max_iterations=15, time_penalty=10.0, use_soft_constraints=False,
+        weights=nonlinear.CostWeights(w_d=0.1, w_c=10.0, w_t=1.0))
+    res = nonlinear.optimize(structure, d_fixed, times, params, field=field)
+    assert float(res.cost.total) <= 1.1 * float(res.initial_cost.total)
+    assert np.all(np.isfinite(np.asarray(res.times)))
+
+
+def test_format_result():
+    structure, d_fixed, times, _ = build(k=2, seed=1)
+    params = nonlinear.NonlinearParameters(
+        objective=nonlinear.Objective.FREE_CONSTRAINTS, max_iterations=3,
+        use_soft_constraints=False)
+    res = nonlinear.optimize(structure, d_fixed, times, params)
+    report = nonlinear.format_result(res)
+    assert "cost trajectory" in report and "iterations: 3" in report
