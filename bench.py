@@ -67,12 +67,12 @@ def main():
     from mav_tube_trajectory_generation_tpu.solver import linear, qcqp
 
     k = 10
-    batch = 8192
+    batch = 6144  # 8192 exceeds HBM with the single-stage padded buffers
     std, free, df_std, df_free, times, waypoints, radii = make_inputs(k, batch)
 
     # rho tuned for warm-started scenarios: median cost within ~1% of a
     # 1600-iteration reference solve while staying fully feasible.
-    admm = qcqp.ADMMConfig(rho=0.003, n_stages=2, n_iters=32,
+    admm = qcqp.ADMMConfig(rho=0.01, n_stages=1, n_iters=100,
                            use_pallas=True)
 
     std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}

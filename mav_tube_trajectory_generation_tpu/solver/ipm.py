@@ -33,7 +33,7 @@ assembled as ONE stacked weighted Gram matmul per iteration.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

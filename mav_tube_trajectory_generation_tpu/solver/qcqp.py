@@ -258,15 +258,17 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
     m_p = 3 * nb_p + nh_p
     nfd_p = admm_kernel.round_up(nfd, 8)
     mb = 3 * n_ball
+    n_ball_pad_tail = nb_p - n_ball
+    n_half_pad_tail = nh_p - n_half
 
     def pad_m_vector(v):
         """(m,) component-major -> (1, m_p) padded component planes."""
-        out = jnp.zeros((1, m_p), f32)
-        vb = v[:mb].reshape(3, n_ball)
-        for c in range(3):
-            out = out.at[0, c * nb_p:c * nb_p + n_ball].set(
-                vb[c].astype(f32))
-        return out.at[0, 3 * nb_p:3 * nb_p + n_half].set(v[mb:].astype(f32))
+        vb = v[:mb].reshape(3, n_ball).astype(f32)
+        zb = jnp.zeros((n_ball_pad_tail,), f32)
+        parts = [jnp.concatenate([vb[c], zb]) for c in range(3)]
+        parts.append(jnp.concatenate(
+            [v[mb:].astype(f32), jnp.zeros((n_half_pad_tail,), f32)]))
+        return jnp.concatenate(parts)[None, :]
 
     def unpad_m_vector(vp):
         parts = [vp[0, c * nb_p:c * nb_p + n_ball] for c in range(3)]
@@ -274,14 +276,21 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
             parts + [vp[0, 3 * nb_p:3 * nb_p + n_half]]).astype(g_all.dtype)
 
     def pad_cols(mat):
-        """(nfd, m) -> (nfd_p, m_p) with component-plane column layout."""
-        out = jnp.zeros((nfd_p, m_p), f32)
-        mbk = mat[:, :mb].reshape(nfd, 3, n_ball)
+        """(nfd, m) -> (nfd_p, m_p) with component-plane column layout.
+
+        Built with concatenations (cheap layout copies) rather than
+        scatter updates -- the dynamic-update-slices showed up in profiles.
+        """
+        mbk = mat[:, :mb].reshape(nfd, 3, n_ball).astype(f32)
+        zb = jnp.zeros((nfd, n_ball_pad_tail), f32)
+        parts = []
         for c in range(3):
-            out = out.at[:nfd, c * nb_p:c * nb_p + n_ball].set(
-                mbk[:, c].astype(f32))
-        return out.at[:nfd, 3 * nb_p:3 * nb_p + n_half].set(
-            mat[:, mb:].astype(f32))
+            parts.extend([mbk[:, c], zb])
+        parts.append(mat[:, mb:].astype(f32))
+        parts.append(jnp.zeros((nfd, n_half_pad_tail), f32))
+        out = jnp.concatenate(parts, axis=1)
+        return jnp.concatenate(
+            [out, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
 
     gt_pad = pad_cols(g_all.T)                            # (nfd_p, m_p)
     b_pad = pad_m_vector(b_all)

@@ -302,3 +302,35 @@ def test_solve_from_positions():
                np.concatenate([positions[:, None, :],
                                np.zeros((3, 4, 1))], axis=1),
                coeffs, [1.5, 2.0])
+
+
+@pytest.mark.parametrize("heuristic", ["ramp", "nfabian"])
+def test_time_allocation_bounds(heuristic):
+    """Time-allocation sanity (TimeAllocation,
+    test_polynomial_optimization.cpp:572-613): positive times, and the solved
+    trajectory's extrema within 2.5x the heuristic's v/a bounds."""
+    from mav_tube_trajectory_generation_tpu.models import trajectory as tj
+    v_max, a_max = 2.0, 3.0
+    ok_v = ok_a = total = 0
+    for seed in range(5):
+        verts = mtg.create_random_vertices(H - 1, 5, np.zeros(3),
+                                           5 * np.ones(3), 300 + seed)
+        if heuristic == "ramp":
+            times = mtg.estimate_segment_times_velocity_ramp(verts, v_max,
+                                                             a_max)
+        else:
+            times = mtg.estimate_segment_times_nfabian(verts, v_max, a_max)
+        assert np.all(times > 0)
+        structure, values = mtg.structure_from_vertices(verts, N, mtg.SNAP)
+        d_fixed = mtg.extract_fixed_values(structure, jnp.asarray(values))
+        sol = mtg.solve_linear(structure, d_fixed, jnp.asarray(times))
+        traj = mtg.Trajectory(sol.coefficients, sol.times)
+        vmax = float(tj.max_magnitude(traj, 1).value)
+        amax = float(tj.max_magnitude(traj, 2).value)
+        total += 1
+        ok_v += vmax <= 2.5 * v_max
+        ok_a += amax <= 2.5 * a_max
+    # The heuristics are heuristics; require the bound to hold for the
+    # majority of random paths (the reference tests a single fixed seed).
+    assert ok_v >= 4, (heuristic, ok_v, total)
+    assert ok_a >= 3, (heuristic, ok_a, total)
