@@ -72,7 +72,7 @@ def main():
 
     # rho tuned for warm-started scenarios: median cost within ~1% of a
     # 1600-iteration reference solve while staying fully feasible.
-    admm = qcqp.ADMMConfig(rho=0.01, n_stages=1, n_iters=100,
+    admm = qcqp.ADMMConfig(rho=0.01, n_stages=1, n_iters=80,
                            use_pallas=True)
 
     std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}

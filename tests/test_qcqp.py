@@ -328,7 +328,7 @@ def test_warmstarted_admm_near_optimal():
         # The production bench config (single stage, one factorization).
         fast = qcqp.solve_qcqp(
             structure, d_fixed, times, waypoints, radii,
-            config=qcqp.ADMMConfig(rho=0.01, n_stages=1, n_iters=100), x0=x0)
+            config=qcqp.ADMMConfig(rho=0.01, n_stages=1, n_iters=80), x0=x0)
         ref = qcqp.solve_qcqp(
             structure, d_fixed, times, waypoints, radii,
             config=qcqp.ADMMConfig(rho=0.003, n_stages=4, n_iters=400), x0=x0)
