@@ -36,7 +36,7 @@ from .solver.linear import (LinearSolution, solve_linear,
 from .solver.qcqp import (ADMMConfig, QCQPSolution, solve_qcqp,
                           position_constrained_warmstart)
 from .solver.banded import solve_linear_banded, block_tridiag_solve
-from .solver.ipm import IPMConfig, solve_qcqp_ipm
+from .solver.ipm import IPMConfig, solve_qcqp_ipm, solve_qcqp_polished
 from .solver.nonlinear import (Objective, CostWeights, MagnitudeConstraint,
                                NonlinearParameters, NonlinearResult,
                                optimize, optimize_time_gradient)

@@ -234,3 +234,30 @@ def solve_qcqp_ipm(structure: ProblemStructure,
         d_free=d_free, cost=sol.cost, converged=converged,
         primal_residual=prim_res, dual_residual=mu_fin,
         max_violation=viol, dual_ball=dual_ball, dual_half=dual_half)
+
+
+def solve_qcqp_polished(structure: ProblemStructure,
+                        d_fixed: jnp.ndarray,
+                        times: jnp.ndarray,
+                        waypoints: jnp.ndarray,
+                        radii: jnp.ndarray,
+                        admm_config=None,
+                        ipm_config: Optional[IPMConfig] = None,
+                        x0: Optional[jnp.ndarray] = None) -> QCQPSolution:
+    """Throughput + accuracy hybrid: ADMM to the 1e-3 neighborhood, then a
+    short interior-point polish to ~1e-9 violations and the exact optimum.
+
+    From the ADMM iterate the IPM typically converges in ~10 Newton steps
+    (cost examples: k=8 fixture 0.1009 -> 0.0900 true optimum).  This is the
+    recommended path when Mosek-grade output matters but the full IPM from
+    cold start is too slow.
+    """
+    from . import qcqp as qcqp_mod
+    if admm_config is None:
+        admm_config = qcqp_mod.ADMMConfig(rho=0.01, n_stages=1, n_iters=80)
+    if ipm_config is None:
+        ipm_config = IPMConfig(n_iters=12)
+    admm_sol = qcqp_mod.solve_qcqp(structure, d_fixed, times, waypoints,
+                                   radii, config=admm_config, x0=x0)
+    return solve_qcqp_ipm(structure, d_fixed, times, waypoints, radii,
+                          config=ipm_config, x0=admm_sol.d_free)

@@ -110,7 +110,10 @@ class CostBreakdown(NamedTuple):
 
 
 class NonlinearResult(NamedTuple):
-    """OptimizationInfo analogue (nonlinear.h:212-231) + the solution."""
+    """OptimizationInfo analogue (nonlinear.h:212-231) + the solution.
+
+    ``maxima`` maps constraint derivative order -> final max magnitude
+    (OptimizationInfo::maxima, nonlinear.h:230)."""
     coefficients: jnp.ndarray
     times: jnp.ndarray
     d_fixed: jnp.ndarray
@@ -118,6 +121,7 @@ class NonlinearResult(NamedTuple):
     cost: CostBreakdown
     initial_cost: CostBreakdown
     n_iterations: int
+    maxima: dict
 
 
 def format_result(res: "NonlinearResult") -> str:
@@ -132,6 +136,8 @@ def format_result(res: "NonlinearResult") -> str:
              f"  cost time (J_t):       {float(c.time):.6g}",
              f"  cost soft constraints: {float(c.soft_constraints):.6g}",
              f"  total time:            {float(jnp.sum(res.times)):.6g}"]
+    for deriv, value in sorted(res.maxima.items()):
+        lines.append(f"  max magnitude (deriv {deriv}): {float(value):.6g}")
     return "\n".join(lines)
 
 
@@ -441,10 +447,13 @@ def optimize(structure: ProblemStructure,
                                         times_fin)
     breakdown = total_cost(structure, d_fixed, d_free_fin, times_fin, params,
                            constraints, field)
+    maxima = {c.derivative: max_magnitude_from_d(
+        structure, d_fixed, d_free_fin, times_fin, c.derivative,
+        params.extrema_grid) for c in constraints}
     return NonlinearResult(
         coefficients=sol.coefficients, times=times_fin, d_fixed=d_fixed,
         d_free=d_free_fin, cost=breakdown, initial_cost=breakdown0,
-        n_iterations=params.max_iterations)
+        n_iterations=params.max_iterations, maxima=maxima)
 
 
 def optimize_time_gradient(structure: ProblemStructure,

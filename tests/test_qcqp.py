@@ -334,3 +334,19 @@ def test_warmstarted_admm_near_optimal():
             config=qcqp.ADMMConfig(rho=0.003, n_stages=4, n_iters=400), x0=x0)
         assert float(fast.max_violation) < 1e-2
         assert float(fast.cost) <= float(ref.cost) * 1.15 + 1e-9
+
+
+def test_solve_qcqp_polished_reaches_optimum():
+    """ADMM + short IPM polish must reach IPM-grade accuracy (the
+    recommended Mosek-parity path)."""
+    from mav_tube_trajectory_generation_tpu.solver import ipm
+    structure, d_fixed, times, waypoints, values = make_problem(k=8, seed=5)
+    radii = jnp.full((structure.n_segments, 2), 0.5)
+    x0 = qcqp.position_constrained_warmstart(
+        structure, jnp.asarray(values), times)
+    pol = ipm.solve_qcqp_polished(structure, d_fixed, times, waypoints,
+                                  radii, x0=x0)
+    full = ipm.solve_qcqp_ipm(structure, d_fixed, times, waypoints, radii)
+    assert bool(pol.converged)
+    assert float(pol.max_violation) < 1e-8
+    assert float(pol.cost) == pytest.approx(float(full.cost), rel=1e-4)
