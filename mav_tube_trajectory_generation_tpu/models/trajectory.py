@@ -173,6 +173,30 @@ def append(a: Trajectory, b: Trajectory) -> Trajectory:
         times=jnp.concatenate([a.times, b.times], axis=-1))
 
 
+def append_dimension(a: Trajectory, b: Trajectory) -> Trajectory:
+    """Stack two trajectories' spatial dimensions (same K and times):
+    Trajectory::getTrajectoryWithAppendedDimension analogue
+    (trajectory.cpp:156-182)."""
+    return Trajectory(
+        coefficients=jnp.concatenate([a.coefficients, b.coefficients],
+                                     axis=-1),
+        times=a.times)
+
+
+def get_vertex_at_time(traj: Trajectory, t, max_derivative: int
+                       ) -> jnp.ndarray:
+    """States 0..max_derivative at global time t, as a (max_derivative+1, D)
+    array (Trajectory::getVertexAtTime, trajectory.h:97): row d is the d-th
+    derivative of position -- the constraint set of a Vertex pinned at t."""
+    t_arr = jnp.asarray(t)
+    # evaluate() promotes scalar t to (1,): rows land at axis -3 as (..., 1, D)
+    out = jnp.stack([evaluate(traj, t_arr, d)
+                     for d in range(max_derivative + 1)], axis=-3)
+    if t_arr.ndim == 0:
+        out = out[..., 0, :]       # drop the promoted time axis
+    return out
+
+
 def start_position(traj: Trajectory, derivative: int = 0) -> jnp.ndarray:
     """Trajectory start state (Trajectory::getStartVertex analogue)."""
     per_dim = jnp.moveaxis(traj.coefficients[..., 0, :, :], -1, -2)

@@ -69,6 +69,73 @@ def tri_lower_inverse(chol_lower: jnp.ndarray,
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def _spd_inverse_2x2(a: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse for batched 1x1 / 2x2 SPD matrices."""
+    n = a.shape[-1]
+    if n == 1:
+        return 1.0 / a
+    det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    inv = jnp.stack([
+        jnp.stack([a[..., 1, 1], -a[..., 0, 1]], axis=-1),
+        jnp.stack([-a[..., 1, 0], a[..., 0, 0]], axis=-1),
+    ], axis=-2)
+    return inv / det[..., None, None]
+
+
+def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
+    """Batched SPD inverse with NO factorization custom call: recursive 2x2
+    block Schur complement, pure MXU matmuls all the way down.
+
+        [[A, B^T], [B, C]]^-1 = [[Ai + W^T Si W, -W^T Si],
+                                 [-Si W,          Si     ]],
+        W = B Ai,  S = C - W B^T,  Si = S^-1 (recurse; SPD since S is the
+        Schur complement of an SPD matrix).
+
+    Why: XLA:TPU's batched ``cholesky`` custom call is the single most
+    expensive op in the QCQP hot path (~150 ms for (6144, 135, 135) --
+    measured Cholesky + InvertDiagBlocks phases), despite being ~5 GFLOP of
+    actual work.  This routine is ~5 n^3 FLOPs of batched dense matmuls,
+    which the MXU executes at near peak.  Numerically it is unpivoted block
+    elimination -- exact for SPD inputs, with error growing with cond(a);
+    the solvers equilibrate to unit diagonal first.  Measured on the QCQP's
+    equilibrated KKT systems (cond ~2e2): float32 |AW - I| ~2.5e-5 with
+    newton_steps=0.  Newton-Schulz polish (W <- W(2I - A W)) is available but
+    measured to *hurt* once the residual is already at the cond*eps floor
+    (its own matmul rounding dominates), hence default 0.
+    """
+    n = a.shape[-1]
+    if n <= 2:
+        return _spd_inverse_2x2(a)
+
+    def rec(m):
+        k = m.shape[-1]
+        if k <= 2:
+            return _spd_inverse_2x2(m)
+        h = (k + 1) // 2
+        top_left = m[..., :h, :h]
+        bot_left = m[..., h:, :h]
+        bot_right = m[..., h:, h:]
+        ai = rec(top_left)
+        w = bot_left @ ai                                   # (k-h, h)
+        s = bot_right - w @ jnp.swapaxes(bot_left, -1, -2)
+        s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+        si = rec(s)
+        siw = si @ w                                        # (k-h, h)
+        ul = ai + jnp.swapaxes(w, -1, -2) @ siw
+        ur = -jnp.swapaxes(siw, -1, -2)
+        top = jnp.concatenate([ul, ur], axis=-1)
+        bottom = jnp.concatenate([-siw, si], axis=-1)
+        return jnp.concatenate([top, bottom], axis=-2)
+
+    w = rec(a)
+    w = 0.5 * (w + jnp.swapaxes(w, -1, -2))
+    eye2 = 2.0 * jnp.eye(n, dtype=a.dtype)
+    for _ in range(newton_steps):
+        w = w @ (eye2 - a @ w)
+        w = 0.5 * (w + jnp.swapaxes(w, -1, -2))
+    return w
+
+
 def spd_inverse(a: jnp.ndarray, newton_steps: int = 1) -> jnp.ndarray:
     """Inverse of a (batched) SPD matrix: Cholesky + matmul-only triangular
     inverse (+ optional Newton-Schulz polish W <- W(2I - A W)).

@@ -97,7 +97,7 @@ def block_tridiag_solve(d_blocks: jnp.ndarray,
         u_odd = u[1::2]                       # U_{2j+1}: kept j -> even j+1
         n_k = d_k.shape[0]
 
-        d_e_inv = linalg.spd_inverse(d_e, newton_steps=0)
+        d_e_inv = linalg.spd_inverse_schur(d_e)
         a = jnp.swapaxes(u_even[:n_k], -1, -2) @ d_e_inv[:n_k]
         bq = u_odd[:n_k] @ d_e_inv[1:n_k + 1]
         d_new = (d_k - a @ u_even[:n_k]

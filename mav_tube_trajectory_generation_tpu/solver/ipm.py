@@ -56,6 +56,12 @@ class IPMConfig:
     lam_init: float = 1.0       # initial multiplier
     eps_feas: float = 1e-6      # convergence thresholds for status output
     eps_mu: float = 1e-8
+    # Hessian inverse backend: "schur" (matmul-only recursive block Schur,
+    # no Cholesky custom call) or "cholesky".  Both are explicit inverses
+    # with the same cond*eps forward-error class; schur avoids the custom
+    # call that dominates TPU wall time (~220 ms vs ~2 ms per factorization
+    # at batch 6144, n 135).
+    hess_inverse: str = "schur"
 
 
 def solve_qcqp_ipm(structure: ProblemStructure,
@@ -115,8 +121,11 @@ def solve_qcqp_ipm(structure: ProblemStructure,
     gh_flat = gh.reshape(n_half, nfd)
     p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
 
+    spd_inv = (linalg.spd_inverse_schur if config.hess_inverse == "schur"
+               else lambda m: linalg.spd_inverse(m, newton_steps=0))
+
     if x0 is None:
-        x_init = -(linalg.spd_inverse(
+        x_init = -(spd_inv(
             p_eq + config.reg * jnp.eye(n_free, dtype=dtype))
             @ q_eq.reshape(n_free, dim))
     else:
@@ -163,7 +172,7 @@ def solve_qcqp_ipm(structure: ProblemStructure,
         ], axis=0)
         h = p_big + a_w.T @ a_w + config.reg * jnp.eye(nfd, dtype=dtype)
         # Inexact Newton tolerates a polish-free inverse (saves 2 matmuls).
-        h_inv = linalg.spd_inverse(h, newton_steps=0)
+        h_inv = spd_inv(h)
 
         grad_f = p_big @ x + q_eq
         r1 = grad_f + jmat.T @ lam

@@ -68,6 +68,11 @@ class ADMMConfig:
     # per-scenario matrices stay VMEM-resident across a whole stage instead
     # of being re-streamed from HBM every iteration.  float32 only.
     use_pallas: bool = False
+    # KKT inverse backend: "schur" = matmul-only recursive block-Schur
+    # (no Cholesky custom call -- the call was the hot path's single most
+    # expensive op; safe because the equilibrated KKT has cond ~2e2),
+    # "cholesky" = XLA Cholesky + matmul-only triangular inverse.
+    kkt_inverse: str = "schur"
 
 
 class QCQPSolution(NamedTuple):
@@ -215,13 +220,15 @@ def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
             return (x_new, z_new, z, u_new), prim
         return step
 
+    spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"
+               else linalg.spd_inverse)
     rho = jnp.asarray(config.rho, dtype)
     state = (x_flat0, z0, z0, jnp.zeros_like(z0))
     prim_res = jnp.asarray(jnp.inf, dtype)
     dual_res = jnp.asarray(jnp.inf, dtype)
     for stage in range(config.n_stages):
         kkt = p_big + rho * gtg + config.sigma * eye_kkt
-        w_inv = linalg.spd_inverse(kkt)                     # (nfd, nfd)
+        w_inv = spd_inv(kkt)                                # (nfd, nfd)
         wgt = w_inv @ g_all.T                               # (nfd, m)
         xq = -(w_inv @ q_flat)
         state, prims = jax.lax.scan(
@@ -296,6 +303,8 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
     b_pad = pad_m_vector(b_all)
     rb_pad = jnp.ones((1, nb_p), f32).at[0, :n_ball].set(rb.astype(f32))
 
+    spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"
+               else linalg.spd_inverse)
     rho = jnp.asarray(config.rho, f32)
     z = pad_m_vector(z0)
     u = jnp.zeros_like(z)
@@ -304,7 +313,7 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
     dual_res = jnp.asarray(jnp.inf, f32)
     for stage in range(config.n_stages):
         kkt = p_big + rho * gtg + config.sigma * eye_kkt
-        w_inv = linalg.spd_inverse(kkt)
+        w_inv = spd_inv(kkt)
         wgt = w_inv @ g_all.T                              # (nfd, m)
         xq = -(w_inv @ q_flat)
         m1_pad = pad_cols(wgt)                             # (nfd_p, m_p)

@@ -76,6 +76,22 @@ def test_append_and_projection():
                                np.asarray(traj.coefficients[..., [0, 2]]))
 
 
+def test_append_dimension_and_vertex_at_time():
+    _, _, _, times, sol = build_solution(k=3)
+    traj = mtg.Trajectory(sol.coefficients, sol.times)
+    stacked = traj_mod.append_dimension(traj, traj)
+    assert stacked.dimension == 6
+    t = 0.4 * float(np.sum(times))
+    v6 = np.asarray(traj_mod.get_vertex_at_time(stacked, t, 2))
+    assert v6.shape == (3, 6)
+    np.testing.assert_allclose(v6[:, :3], v6[:, 3:], atol=1e-12)
+    # Row d equals the d-th derivative of the original trajectory at t.
+    for d in range(3):
+        np.testing.assert_allclose(
+            v6[d, :3], np.asarray(mtg.evaluate(traj, jnp.asarray(t), d))[0],
+            atol=1e-12)
+
+
 def test_sample_times():
     ts = traj_mod.sample_times(np.array([1.0, 2.0]), 0.5)
     np.testing.assert_allclose(ts, [0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0])
