@@ -87,7 +87,9 @@ def main():
         (bf16 passes lose ADMM feasibility)."""
         def per_scenario(df_s, df_f, t, w, r):
             with jax.default_matmul_precision('highest'):
-                lin = linear.solve_linear(std, df_s, t)
+                # schur: matmul-only R_pp inverse -- no Cholesky custom call
+                # (equilibrated std-family R_pp has cond ~5e2; safe in f32).
+                lin = linear.solve_linear(std, df_s, t, method="schur")
                 # Warm start: endpoint derivatives of the position-
                 # constrained solution in the free-interior layout.
                 d_all = jnp.concatenate([lin.d_fixed, lin.d_free], axis=-2)

@@ -249,82 +249,100 @@ def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
     return x_fin, z_fin, u_fin, rho, prim_res, dual_res
 
 
-def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
-                       x_flat0, z0, n_ball, n_half, nfd):
+def _run_stages_pallas(config, gb, bb, rb, gh, bh, p_big, eye_kkt, q_flat,
+                       x_flat0, nfd, out_dtype):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
     Works on float32 padded layouts (ops/admm_kernel.py: both matrices in
     (nfd_p, m_p) orientation, VPU broadcast-reduce matvecs); per-stage rho
     adaptation and the KKT (re)inverse stay in XLA.
+
+    The padded component-plane layout is built DIRECTLY from the equilibrated
+    constraint tensors (gb (n_ball, 3, n_free, D), gh (n_half, n_free, D)):
+    an earlier version assembled an unpadded (m, nfd) G, computed G^T G and
+    W G^T, then repacked both into the padded layout -- those repack copies
+    (~1.4 GB each at batch 6144) showed up as the top non-kernel ops in
+    profiles.  Here G^T is materialized once, already padded; G^T G and the
+    KKT-inverse product inherit the layout for free (padding columns are
+    zero, so they contribute nothing to the Gram matrix).
+
+    Returns (x, z_pad, u_pad, rho, prim, dual, nb_p, nh_p) -- z/u stay in the
+    padded layout; the caller slices the duals out.
     """
     from ..ops import admm_kernel
 
     f32 = jnp.float32
+    n_ball, n_half = gb.shape[0], gh.shape[0]
     nb_p = admm_kernel.round_up(max(n_ball, 1), 128)
     nh_p = admm_kernel.round_up(max(n_half, 1), 128)
     m_p = 3 * nb_p + nh_p
     nfd_p = admm_kernel.round_up(nfd, 8)
-    mb = 3 * n_ball
-    n_ball_pad_tail = nb_p - n_ball
-    n_half_pad_tail = nh_p - n_half
 
-    def pad_m_vector(v):
-        """(m,) component-major -> (1, m_p) padded component planes."""
-        vb = v[:mb].reshape(3, n_ball).astype(f32)
-        zb = jnp.zeros((n_ball_pad_tail,), f32)
-        parts = [jnp.concatenate([vb[c], zb]) for c in range(3)]
+    # G^T in padded component-plane column layout, built in one pass:
+    # (n_free, D, 3, n_ball) transpose -> per-component (nfd, n_ball) planes.
+    gbt = jnp.transpose(gb, (2, 3, 1, 0)).reshape(nfd, 3, n_ball).astype(f32)
+    ght = jnp.transpose(gh, (1, 2, 0)).reshape(nfd, n_half).astype(f32)
+    zb = jnp.zeros((nfd, nb_p - n_ball), f32)
+    parts = []
+    for c in range(3):
+        parts.extend([gbt[:, c], zb])
+    parts.extend([ght, jnp.zeros((nfd, nh_p - n_half), f32)])
+    gt = jnp.concatenate(parts, axis=1)                   # (nfd, m_p)
+    gt_pad = jnp.concatenate(
+        [gt, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
+
+    def pad_plane_vec(v_ball, v_half):
+        """((n_ball, 3), (n_half,)) -> (1, m_p) padded component planes."""
+        parts = [jnp.concatenate(
+            [v_ball[:, c].astype(f32), jnp.zeros((nb_p - n_ball,), f32)])
+            for c in range(3)]
         parts.append(jnp.concatenate(
-            [v[mb:].astype(f32), jnp.zeros((n_half_pad_tail,), f32)]))
+            [v_half.astype(f32), jnp.zeros((nh_p - n_half,), f32)]))
         return jnp.concatenate(parts)[None, :]
 
-    def unpad_m_vector(vp):
-        parts = [vp[0, c * nb_p:c * nb_p + n_ball] for c in range(3)]
+    b_pad = pad_plane_vec(bb, bh)
+    # Padded ball radii default to 1 with b=0 rows: y=0 stays feasible.
+    rb_pad = jnp.concatenate(
+        [rb.astype(f32), jnp.ones((nb_p - n_ball,), f32)])[None, :]
+
+    def project_pad(w):
+        wx, wy, wz = (w[:, c * nb_p:(c + 1) * nb_p] for c in range(3))
+        sq = wx * wx + wy * wy + wz * wz
+        scale = jnp.where(sq > rb_pad * rb_pad,
+                          rb_pad / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
         return jnp.concatenate(
-            parts + [vp[0, 3 * nb_p:3 * nb_p + n_half]]).astype(g_all.dtype)
+            [wx * scale, wy * scale, wz * scale,
+             jnp.minimum(w[:, 3 * nb_p:], 0.0)], axis=1)
 
-    def pad_cols(mat):
-        """(nfd, m) -> (nfd_p, m_p) with component-plane column layout.
-
-        Built with concatenations (cheap layout copies) rather than
-        scatter updates -- the dynamic-update-slices showed up in profiles.
-        """
-        mbk = mat[:, :mb].reshape(nfd, 3, n_ball).astype(f32)
-        zb = jnp.zeros((nfd, n_ball_pad_tail), f32)
-        parts = []
-        for c in range(3):
-            parts.extend([mbk[:, c], zb])
-        parts.append(mat[:, mb:].astype(f32))
-        parts.append(jnp.zeros((nfd, n_half_pad_tail), f32))
-        out = jnp.concatenate(parts, axis=1)
-        return jnp.concatenate(
-            [out, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
-
-    gt_pad = pad_cols(g_all.T)                            # (nfd_p, m_p)
-    b_pad = pad_m_vector(b_all)
-    rb_pad = jnp.ones((1, nb_p), f32).at[0, :n_ball].set(rb.astype(f32))
+    gtg = gt @ gt.T                                       # (nfd, nfd)
+    x0_col = x_flat0.astype(f32)[:, None]                 # (nfd, 1)
+    z = project_pad((x0_col.T @ gt) + b_pad)              # (1, m_p)
+    u = jnp.zeros_like(z)
+    x = jnp.concatenate(
+        [x0_col, jnp.zeros((nfd_p - nfd, 1), f32)], axis=0)
 
     spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"
                else linalg.spd_inverse)
     rho = jnp.asarray(config.rho, f32)
-    z = pad_m_vector(z0)
-    u = jnp.zeros_like(z)
-    x = jnp.zeros((nfd_p, 1), f32).at[:nfd, 0].set(x_flat0.astype(f32))
     prim_res = jnp.asarray(jnp.inf, f32)
     dual_res = jnp.asarray(jnp.inf, f32)
     for stage in range(config.n_stages):
-        kkt = p_big + rho * gtg + config.sigma * eye_kkt
+        kkt = (p_big + rho * gtg + config.sigma * eye_kkt).astype(f32)
         w_inv = spd_inv(kkt)
-        wgt = w_inv @ g_all.T                              # (nfd, m)
-        xq = -(w_inv @ q_flat)
-        m1_pad = pad_cols(wgt)                             # (nfd_p, m_p)
-        xq_pad = jnp.zeros((nfd_p, 1), f32).at[:nfd, 0].set(xq.astype(f32))
+        m1 = w_inv @ gt                                    # (nfd, m_p) padded
+        m1_pad = jnp.concatenate(
+            [m1, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
+        xq = -(w_inv @ q_flat.astype(f32))
+        xq_pad = jnp.concatenate(
+            [xq[:, None], jnp.zeros((nfd_p - nfd, 1), f32)], axis=0)
         x, z, z_prev, u, prim = admm_kernel.admm_stage(
             jnp.reshape(rho, (1, 1)).astype(f32), m1_pad, gt_pad, b_pad,
             rb_pad, xq_pad, z, u, n_iters=config.n_iters,
             alpha=config.alpha, nb_p=nb_p)
         prim_res = prim[0, 0]
-        dz = unpad_m_vector(z) - unpad_m_vector(z_prev)
-        dual_res = rho * jnp.max(jnp.abs(g_all.T @ dz)).astype(f32)
+        # Padded entries of z are fixed points of the iteration (y=0, b=0),
+        # so dz is zero there and the padded matvec is exact.
+        dual_res = rho * jnp.max(jnp.abs(gt @ (z - z_prev)[0]))
         if stage + 1 < config.n_stages:
             ratio = jnp.sqrt(jnp.maximum(prim_res, 1e-30)
                              / jnp.maximum(dual_res, 1e-30))
@@ -332,10 +350,14 @@ def _run_stages_pallas(config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
             u = u * (rho / new_rho)
             rho = new_rho
 
-    x_fin = x[:nfd, 0].astype(g_all.dtype)
-    return (x_fin, unpad_m_vector(z), unpad_m_vector(u),
-            rho.astype(g_all.dtype), prim_res.astype(g_all.dtype),
-            dual_res.astype(g_all.dtype))
+    def unpad(vp):
+        cols = [vp[0, c * nb_p:c * nb_p + n_ball] for c in range(3)]
+        return jnp.concatenate(
+            cols + [vp[0, 3 * nb_p:3 * nb_p + n_half]]).astype(out_dtype)
+
+    x_fin = x[:nfd, 0].astype(out_dtype)
+    return (x_fin, unpad(z), unpad(u), rho.astype(out_dtype),
+            prim_res.astype(out_dtype), dual_res.astype(out_dtype))
 
 
 def solve_qcqp(structure: ProblemStructure,
@@ -407,11 +429,6 @@ def solve_qcqp(structure: ProblemStructure,
     n_ball = gb.shape[0]
     n_half = gh.shape[0]
     mb = n_ball * 3
-    gb_cm = jnp.moveaxis(gb, 1, 0)                        # (3, n_ball, nf, D)
-    g_all = jnp.concatenate([gb_cm.reshape(mb, nfd),
-                             gh.reshape(n_half, nfd)], axis=0)   # (m, nfd)
-    b_all = jnp.concatenate([bb.T.reshape(mb), bh])
-    gtg = g_all.T @ g_all
     p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
     eye_kkt = jnp.eye(nfd, dtype=dtype)
     q_flat = q_eq.reshape(nfd)
@@ -427,21 +444,28 @@ def solve_qcqp(structure: ProblemStructure,
         x_init = jnp.asarray(x0, dtype) / d_scale[:, None]
     x_flat0 = x_init.reshape(nfd)
 
-    def project_flat(v):
-        vb = v[:mb].reshape(3, n_ball)
-        sq = jnp.sum(vb * vb, axis=0)
-        scale = jnp.where(sq > rb * rb,
-                          rb / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
-        return jnp.concatenate([(vb * scale).reshape(mb),
-                                jnp.minimum(v[mb:], 0.0)])
-
-    z0 = project_flat(g_all @ x_flat0 + b_all)
-
     if config.use_pallas:
+        # The padded kernel layout is assembled directly from gb/gh inside
+        # (no unpadded G is ever materialized -- see _run_stages_pallas).
         x_fin_flat, z_fin, u_fin, rho, prim_res, dual_res = _run_stages_pallas(
-            config, g_all, b_all, rb, gtg, p_big, eye_kkt, q_flat,
-            x_flat0, z0, n_ball, n_half, nfd)
+            config, gb, bb, rb, gh, bh, p_big, eye_kkt, q_flat,
+            x_flat0, nfd, dtype)
     else:
+        gb_cm = jnp.moveaxis(gb, 1, 0)                    # (3, n_ball, nf, D)
+        g_all = jnp.concatenate([gb_cm.reshape(mb, nfd),
+                                 gh.reshape(n_half, nfd)], axis=0)  # (m, nfd)
+        b_all = jnp.concatenate([bb.T.reshape(mb), bh])
+        gtg = g_all.T @ g_all
+
+        def project_flat(v):
+            vb = v[:mb].reshape(3, n_ball)
+            sq = jnp.sum(vb * vb, axis=0)
+            scale = jnp.where(sq > rb * rb,
+                              rb / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
+            return jnp.concatenate([(vb * scale).reshape(mb),
+                                    jnp.minimum(v[mb:], 0.0)])
+
+        z0 = project_flat(g_all @ x_flat0 + b_all)
         x_fin_flat, z_fin, u_fin, rho, prim_res, dual_res = _run_stages_xla(
             config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
             x_flat0, z0, project_flat, dtype)

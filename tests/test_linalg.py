@@ -59,6 +59,27 @@ def test_spd_inverse_matches_schur():
     np.testing.assert_allclose(w_chol, w_schur, rtol=1e-6, atol=1e-9)
 
 
+def test_solve_linear_schur_matches_cholesky():
+    """solve_linear(method='schur') agrees with the Cholesky path on the
+    standard 10-segment family (the bench's warm-start configuration)."""
+    import mav_tube_trajectory_generation_tpu as mtg
+    from mav_tube_trajectory_generation_tpu.solver import linear, structure as sm
+
+    rng = np.random.RandomState(11)
+    k = 10
+    wp = np.cumsum(rng.uniform(0.5, 2.0, size=(k + 1, 3)), axis=0)
+    std = sm.make_structure(sm.standard_mask(k + 1, 10), 3, 10)
+    values = np.zeros((k + 1, 5, 3))
+    values[:, 0] = wp
+    times = jnp.asarray(rng.uniform(0.5, 2.0, size=(k,)))
+    df = linear.extract_fixed_values(std, jnp.asarray(values))
+    a = linear.solve_linear(std, df, times)
+    b = linear.solve_linear(std, df, times, method="schur")
+    np.testing.assert_allclose(np.asarray(b.d_free), np.asarray(a.d_free),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(b.cost), float(a.cost), rtol=1e-10)
+
+
 def test_spd_solve_vector_and_matrix_rhs():
     rng = np.random.RandomState(5)
     a = _random_spd(rng, 2, 33, 1e5)
