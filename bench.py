@@ -67,7 +67,10 @@ def main():
     from mav_tube_trajectory_generation_tpu.solver import linear, qcqp
 
     k = 10
-    batch = 6144  # 8192 exceeds HBM with the single-stage padded buffers
+    batch = 6144  # see --batch; 8192 exceeded HBM before the fused assembly
+    for a in sys.argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
     std, free, df_std, df_free, times, waypoints, radii = make_inputs(k, batch)
 
     # rho tuned for warm-started scenarios: median cost within ~1% of a

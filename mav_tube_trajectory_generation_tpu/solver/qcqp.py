@@ -73,6 +73,13 @@ class ADMMConfig:
     # expensive op; safe because the equilibrated KKT has cond ~2e2),
     # "cholesky" = XLA Cholesky + matmul-only triangular inverse.
     kkt_inverse: str = "schur"
+    # Per-constraint-family penalty factors: scaling a row by sqrt(f) after
+    # equilibration gives that constraint an effective penalty f * rho (the
+    # feasible set is invariant).  OSQP-style rho heterogeneity without a
+    # per-row rho in the kernel.
+    rho_sphere_factor: float = 1.0
+    rho_tube_factor: float = 1.0
+    rho_half_factor: float = 1.0
 
 
 class QCQPSolution(NamedTuple):
@@ -197,6 +204,120 @@ def build_constraints(structure: ProblemStructure,
     )
 
 
+def _padded_constraint_system(structure: ProblemStructure,
+                              times: jnp.ndarray,
+                              d_fixed: jnp.ndarray,
+                              waypoints: jnp.ndarray,
+                              radii: jnp.ndarray,
+                              d_scale: jnp.ndarray,
+                              nb_p: int, nh_p: int,
+                              f_sphere: float = 1.0,
+                              f_tube: float = 1.0,
+                              f_half: float = 1.0):
+    """Equilibrated constraint system assembled DIRECTLY in the Pallas
+    kernel's padded component-plane layout.
+
+    Same math as ``build_constraints`` + the equilibration block of
+    ``solve_qcqp`` (sphere/tube/end-cap forms, qcqp_impl.h:358-474), but the
+    per-constraint Jacobians are never materialized in their (m, 3, n_free,
+    D) form: the row norms have closed forms (sphere ``e``, tube
+    ``|P|_F e / sqrt(3)``, half-space ``e`` for ``e = |ecp_j * d_scale|_2``),
+    and the scaled G^T lands straight in its final (nfd, m_p) layout -- the
+    profile showed the transpose/slice/concat chain of the generic path
+    costing ~40 ms/batch at 6144.
+
+    Returns (gt (nfd, m_p), b_pad (1, m_p), rb_pad (1, nb_p),
+             sb (n_ball,), sh (n_half,)) in float32.
+    """
+    k = structure.n_segments
+    n = structure.n_coefficients
+    if structure.dimension != 3:
+        raise ValueError("Tube constraints require dimension == 3.")
+    f32 = jnp.float32
+    cp0, ecp = _control_point_maps(structure, times, d_fixed)
+    n_free = ecp.shape[-1]
+    nfd = n_free * 3
+    n_mid = n - 2
+    n_ball = (k - 1) + k * n_mid
+    n_half = k * n_mid * 2
+
+    p_start = waypoints[:-1]
+    p_end = waypoints[1:]
+    seg_vec = p_end - p_start
+    seg_norm = jnp.linalg.norm(seg_vec, axis=-1, keepdims=True)
+    nvec = seg_vec / jnp.maximum(seg_norm, 1e-12)          # (K, 3)
+    eye3 = jnp.eye(3, dtype=times.dtype)
+    proj = eye3 - nvec[:, :, None] * nvec[:, None, :]      # (K, 3, 3)
+
+    ecp_s = ecp * d_scale[None, None, :]                   # (K, N, n_free)
+    e_norm = jnp.linalg.norm(ecp_s, axis=-1)               # (K, N)
+    proj_f = jnp.linalg.norm(proj, axis=(-2, -1))          # (K,) ~sqrt(2)
+    mid = slice(1, n - 1)
+
+    # Row equilibration scales (identical semantics to solve_qcqp's clip),
+    # times the per-family sqrt(penalty factor) (ADMMConfig.rho_*_factor).
+    sb_sph = np.sqrt(f_sphere) / jnp.clip(
+        e_norm[:k - 1, n - 1], 1e-2, 1e2)                           # (K-1,)
+    sb_tube = np.sqrt(f_tube) / jnp.clip(
+        proj_f[:, None] * e_norm[:, mid] / jnp.sqrt(3.0), 1e-2, 1e2)  # (K,M)
+    sh_kj = np.sqrt(f_half) / jnp.clip(e_norm[:, mid], 1e-2, 1e2)   # (K, M)
+
+    # --- G^T blocks, already scaled, rows = (p, d) p-major. ---------------
+    # sphere: G[p,d,c,b] = ecp_s[b, n-1, p] sb_sph[b] I3[c,d]
+    eph = ecp_s[:k - 1, n - 1] * sb_sph[:, None]           # (K-1, n_free)
+    gt_sph = jnp.einsum('bp,dc->pdcb', eph, eye3)          # (nf,3,3,K-1)
+    gt_sph = gt_sph.reshape(nfd, 3, k - 1)
+    # tube: G[p,d,c,(k,j)] = ecp_s[k,j,p] sb_tube[k,j] proj[k,c,d]
+    gt_tube = jnp.einsum('kjp,kcd->pdckj',
+                         ecp_s[:, mid] * sb_tube[..., None], proj)
+    gt_tube = gt_tube.reshape(nfd, 3, k * n_mid)
+    # half: G[p,d,(k,j,s)] = ecp_s[k,j,p] sh[k,j] dirs[k,s,d]
+    dirs = jnp.stack([-nvec, nvec], axis=1)                # (K, 2, 3)
+    gt_half = jnp.einsum('kjp,ksd->pdkjs',
+                         ecp_s[:, mid] * sh_kj[..., None], dirs)
+    gt_half = gt_half.reshape(nfd, n_half)
+
+    zb = jnp.zeros((nfd, nb_p - n_ball), f32)
+    parts = []
+    for c in range(3):
+        parts.extend([
+            gt_sph[:, c].astype(f32), gt_tube[:, c].astype(f32), zb])
+    parts.extend([gt_half.astype(f32),
+                  jnp.zeros((nfd, nh_p - n_half), f32)])
+    gt = jnp.concatenate(parts, axis=1)                    # (nfd, m_p)
+
+    # --- Offsets / radii (small tensors). ----------------------------------
+    b_sph = (cp0[:k - 1, n - 1, :] - waypoints[1:k]) * sb_sph[:, None]
+    b_tube = jnp.einsum('kcd,kjd->kjc', proj,
+                        cp0[:, mid] - p_start[:, None, :]) \
+        * sb_tube[..., None]                               # (K, M, 3)
+    r_prev = jnp.concatenate([radii[:1, 0], radii[:-1, 1]])
+    p_cap_start = p_start - nvec * r_prev[:, None]
+    p_cap_end = p_end + nvec * radii[:, 1][:, None]
+    caps = jnp.stack([p_cap_start, p_cap_end], axis=1)     # (K, 2, 3)
+    b_half = (jnp.einsum('ksd,kjd->kjs', dirs, cp0[:, mid])
+              - jnp.einsum('ksd,ksd->ks', dirs, caps)[:, None, :]) \
+        * sh_kj[..., None]                                 # (K, M, 2)
+
+    zb1 = jnp.zeros((nb_p - n_ball,), f32)
+    bparts = []
+    for c in range(3):
+        bparts.extend([b_sph[:, c].astype(f32),
+                       b_tube[..., c].reshape(-1).astype(f32), zb1])
+    bparts.extend([b_half.reshape(-1).astype(f32),
+                   jnp.zeros((nh_p - n_half,), f32)])
+    b_pad = jnp.concatenate(bparts)[None, :]               # (1, m_p)
+
+    rb = jnp.concatenate([radii[:k - 1, 1] * sb_sph,
+                          (jnp.broadcast_to(radii[:, :1], (k, n_mid))
+                           * sb_tube).reshape(-1)])
+    rb_pad = jnp.concatenate([rb.astype(f32),
+                              jnp.ones((nb_p - n_ball,), f32)])[None, :]
+    sb = jnp.concatenate([sb_sph, sb_tube.reshape(-1)])
+    sh = jnp.broadcast_to(sh_kj[..., None], (k, n_mid, 2)).reshape(-1)
+    return gt, b_pad, rb_pad, sb, sh
+
+
 def _project(z_ball: jnp.ndarray, r_ball: jnp.ndarray,
              z_half: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     norm = jnp.linalg.norm(z_ball, axis=-1)
@@ -249,7 +370,8 @@ def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
     return x_fin, z_fin, u_fin, rho, prim_res, dual_res
 
 
-def _run_stages_pallas(config, gb, bb, rb, gh, bh, p_big, eye_kkt, q_flat,
+def _run_stages_pallas(config, gt, b_pad, rb_pad, nb_p, nh_p,
+                       n_ball, n_half, p_big, eye_kkt, q_flat,
                        x_flat0, nfd, out_dtype):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
@@ -257,53 +379,20 @@ def _run_stages_pallas(config, gb, bb, rb, gh, bh, p_big, eye_kkt, q_flat,
     (nfd_p, m_p) orientation, VPU broadcast-reduce matvecs); per-stage rho
     adaptation and the KKT (re)inverse stay in XLA.
 
-    The padded component-plane layout is built DIRECTLY from the equilibrated
-    constraint tensors (gb (n_ball, 3, n_free, D), gh (n_half, n_free, D)):
-    an earlier version assembled an unpadded (m, nfd) G, computed G^T G and
-    W G^T, then repacked both into the padded layout -- those repack copies
-    (~1.4 GB each at batch 6144) showed up as the top non-kernel ops in
-    profiles.  Here G^T is materialized once, already padded; G^T G and the
-    KKT-inverse product inherit the layout for free (padding columns are
-    zero, so they contribute nothing to the Gram matrix).
+    ``gt`` arrives from _padded_constraint_system already equilibrated and in
+    the padded component-plane layout: G^T G and the KKT-inverse product
+    inherit the layout for free (padding columns are zero, so they
+    contribute nothing to the Gram matrix), and no unpadded (m, nfd) G is
+    ever materialized.
 
-    Returns (x, z_pad, u_pad, rho, prim, dual, nb_p, nh_p) -- z/u stay in the
-    padded layout; the caller slices the duals out.
+    Returns (x, z_pad, u_pad, y_fin, rho, prim, dual) -- z/u in the padded
+    layout; y_fin = G x + b for the caller's violation check.
     """
     from ..ops import admm_kernel
 
     f32 = jnp.float32
-    n_ball, n_half = gb.shape[0], gh.shape[0]
-    nb_p = admm_kernel.round_up(max(n_ball, 1), 128)
-    nh_p = admm_kernel.round_up(max(n_half, 1), 128)
     m_p = 3 * nb_p + nh_p
     nfd_p = admm_kernel.round_up(nfd, 8)
-
-    # G^T in padded component-plane column layout, built in one pass:
-    # (n_free, D, 3, n_ball) transpose -> per-component (nfd, n_ball) planes.
-    gbt = jnp.transpose(gb, (2, 3, 1, 0)).reshape(nfd, 3, n_ball).astype(f32)
-    ght = jnp.transpose(gh, (1, 2, 0)).reshape(nfd, n_half).astype(f32)
-    zb = jnp.zeros((nfd, nb_p - n_ball), f32)
-    parts = []
-    for c in range(3):
-        parts.extend([gbt[:, c], zb])
-    parts.extend([ght, jnp.zeros((nfd, nh_p - n_half), f32)])
-    gt = jnp.concatenate(parts, axis=1)                   # (nfd, m_p)
-    gt_pad = jnp.concatenate(
-        [gt, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
-
-    def pad_plane_vec(v_ball, v_half):
-        """((n_ball, 3), (n_half,)) -> (1, m_p) padded component planes."""
-        parts = [jnp.concatenate(
-            [v_ball[:, c].astype(f32), jnp.zeros((nb_p - n_ball,), f32)])
-            for c in range(3)]
-        parts.append(jnp.concatenate(
-            [v_half.astype(f32), jnp.zeros((nh_p - n_half,), f32)]))
-        return jnp.concatenate(parts)[None, :]
-
-    b_pad = pad_plane_vec(bb, bh)
-    # Padded ball radii default to 1 with b=0 rows: y=0 stays feasible.
-    rb_pad = jnp.concatenate(
-        [rb.astype(f32), jnp.ones((nb_p - n_ball,), f32)])[None, :]
 
     def project_pad(w):
         wx, wy, wz = (w[:, c * nb_p:(c + 1) * nb_p] for c in range(3))
@@ -314,6 +403,8 @@ def _run_stages_pallas(config, gb, bb, rb, gh, bh, p_big, eye_kkt, q_flat,
             [wx * scale, wy * scale, wz * scale,
              jnp.minimum(w[:, 3 * nb_p:], 0.0)], axis=1)
 
+    gt_pad = jnp.concatenate(
+        [gt, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
     gtg = gt @ gt.T                                       # (nfd, nfd)
     x0_col = x_flat0.astype(f32)[:, None]                 # (nfd, 1)
     z = project_pad((x0_col.T @ gt) + b_pad)              # (1, m_p)
@@ -355,8 +446,9 @@ def _run_stages_pallas(config, gb, bb, rb, gh, bh, p_big, eye_kkt, q_flat,
         return jnp.concatenate(
             cols + [vp[0, 3 * nb_p:3 * nb_p + n_half]]).astype(out_dtype)
 
+    y_fin = (x[:nfd].T @ gt) + b_pad                      # (1, m_p), scaled
     x_fin = x[:nfd, 0].astype(out_dtype)
-    return (x_fin, unpad(z), unpad(u), rho.astype(out_dtype),
+    return (x_fin, unpad(z), unpad(u), y_fin, rho.astype(out_dtype),
             prim_res.astype(out_dtype), dual_res.astype(out_dtype))
 
 
@@ -394,41 +486,12 @@ def solve_qcqp(structure: ProblemStructure,
     r_pp = r[nf:, nf:]
     q_lin = jnp.einsum('pf,fd->pd', r_pf, d_fixed)        # 0.5 grad at x=0
 
-    cons = build_constraints(structure, times, d_fixed, waypoints, radii)
-
     # ---- Equilibration ---------------------------------------------------
     # Cost scaling: x = d_scale * x_tilde with unit-diagonal P_tilde.
     d_scale = jax.lax.rsqrt(jnp.diagonal(r_pp))           # (n_free,)
     p_eq = r_pp * d_scale[:, None] * d_scale[None, :]
     q_eq = q_lin * d_scale[:, None]
-    gb = cons.g_ball * d_scale[None, None, :, None]
-    gh = cons.g_half * d_scale[None, :, None]
 
-    # Row scaling: per ball block / half row -> unit Frobenius scale.
-    # Row scales clamped to [1e-2, 1e2]: constraints whose Jacobian block is
-    # (near-)zero -- e.g. tube constraints on the first segment's leading
-    # control points, which depend only on *fixed* start derivatives -- are
-    # constants; unbounded up-scaling of those rows poisons the solvers.
-    sb = 1.0 / jnp.clip(
-        jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), 1e-2, 1e2)
-    sh = 1.0 / jnp.clip(jnp.sqrt(jnp.sum(gh ** 2, axis=(1, 2))), 1e-2, 1e2)
-    gb = gb * sb[:, None, None, None]
-    bb = cons.b_ball * sb[:, None]
-    rb = cons.r_ball * sb
-    gh = gh * sh[:, None, None]
-    bh = cons.b_half * sh
-
-    # ---- KKT building blocks (flat constraint space) ---------------------
-    # x (n_free, D) flattens p-major (index p*dim + d); ball rows flatten
-    # COMPONENT-major ([all x | all y | all z]) so the ball projection is
-    # three contiguous slices (also the Pallas kernel layout).  All
-    # per-iteration work becomes two dense matvecs against precomputed
-    # matrices -- deliberately NO triangular solves inside the scan:
-    # XLA:TPU lowers batched triangular solves row-by-row (latency-bound),
-    # whereas dense (m x n) matvecs ride the MXU.
-    n_ball = gb.shape[0]
-    n_half = gh.shape[0]
-    mb = n_ball * 3
     p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
     eye_kkt = jnp.eye(nfd, dtype=dtype)
     q_flat = q_eq.reshape(nfd)
@@ -445,12 +508,71 @@ def solve_qcqp(structure: ProblemStructure,
     x_flat0 = x_init.reshape(nfd)
 
     if config.use_pallas:
-        # The padded kernel layout is assembled directly from gb/gh inside
-        # (no unpadded G is ever materialized -- see _run_stages_pallas).
-        x_fin_flat, z_fin, u_fin, rho, prim_res, dual_res = _run_stages_pallas(
-            config, gb, bb, rb, gh, bh, p_big, eye_kkt, q_flat,
-            x_flat0, nfd, dtype)
+        # Fused path: the equilibrated system is assembled directly in the
+        # kernel's padded component-plane layout (no unpadded G, no big
+        # repacks); the violation check reuses the final scaled y = Gx + b.
+        from ..ops import admm_kernel
+        k_seg = structure.n_segments
+        n_co = structure.n_coefficients
+        n_ball = (k_seg - 1) + k_seg * (n_co - 2)
+        n_half = k_seg * (n_co - 2) * 2
+        nb_p = admm_kernel.round_up(max(n_ball, 1), 128)
+        nh_p = admm_kernel.round_up(max(n_half, 1), 128)
+        gt, b_pad, rb_pad, sb, sh = _padded_constraint_system(
+            structure, times, d_fixed, waypoints, radii, d_scale, nb_p, nh_p,
+            config.rho_sphere_factor, config.rho_tube_factor,
+            config.rho_half_factor)
+        (x_fin_flat, z_fin, u_fin, y_fin, rho, prim_res,
+         dual_res) = _run_stages_pallas(
+            config, gt, b_pad, rb_pad, nb_p, nh_p, n_ball, n_half,
+            p_big, eye_kkt, q_flat, x_flat0, nfd, dtype)
+        # True-space violation from the scaled y: y_scaled = s * y_true.
+        yb_pl = jnp.stack([y_fin[0, c * nb_p:c * nb_p + n_ball]
+                           for c in range(3)])             # (3, n_ball)
+        nb_norm = jnp.linalg.norm(yb_pl, axis=0)
+        viol_ball = jnp.max((nb_norm - rb_pad[0, :n_ball]) / sb)
+        yh = y_fin[0, 3 * nb_p:3 * nb_p + n_half]
+        viol = jnp.maximum(viol_ball, jnp.max(yh / sh)).astype(dtype)
     else:
+        cons = build_constraints(structure, times, d_fixed, waypoints, radii)
+        gb = cons.g_ball * d_scale[None, None, :, None]
+        gh = cons.g_half * d_scale[None, :, None]
+
+        # Row scaling: per ball block / half row -> unit Frobenius scale.
+        # Clamped to [1e-2, 1e2]: constraints whose Jacobian block is
+        # (near-)zero -- e.g. tube constraints on the first segment's leading
+        # control points, which depend only on *fixed* start derivatives --
+        # are constants; unbounded up-scaling of those rows poisons the
+        # solvers.
+        sb = 1.0 / jnp.clip(
+            jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), 1e-2, 1e2)
+        sh = 1.0 / jnp.clip(jnp.sqrt(jnp.sum(gh ** 2, axis=(1, 2))),
+                            1e-2, 1e2)
+        if (config.rho_sphere_factor, config.rho_tube_factor,
+                config.rho_half_factor) != (1.0, 1.0, 1.0):
+            n_sph = structure.n_segments - 1
+            fac_b = jnp.concatenate([
+                jnp.full((n_sph,), np.sqrt(config.rho_sphere_factor), dtype),
+                jnp.full((sb.shape[0] - n_sph,),
+                         np.sqrt(config.rho_tube_factor), dtype)])
+            sb = sb * fac_b
+            sh = sh * np.sqrt(config.rho_half_factor)
+        gb = gb * sb[:, None, None, None]
+        bb = cons.b_ball * sb[:, None]
+        rb = cons.r_ball * sb
+        gh = gh * sh[:, None, None]
+        bh = cons.b_half * sh
+
+        # x (n_free, D) flattens p-major (index p*dim + d); ball rows flatten
+        # COMPONENT-major ([all x | all y | all z]) so the ball projection is
+        # three contiguous slices (also the Pallas kernel layout).  All
+        # per-iteration work becomes two dense matvecs against precomputed
+        # matrices -- deliberately NO triangular solves inside the scan:
+        # XLA:TPU lowers batched triangular solves row-by-row
+        # (latency-bound), whereas dense (m x n) matvecs ride the MXU.
+        n_ball = gb.shape[0]
+        n_half = gh.shape[0]
+        mb = n_ball * 3
         gb_cm = jnp.moveaxis(gb, 1, 0)                    # (3, n_ball, nf, D)
         g_all = jnp.concatenate([gb_cm.reshape(mb, nfd),
                                  gh.reshape(n_half, nfd)], axis=0)  # (m, nfd)
@@ -470,6 +592,7 @@ def solve_qcqp(structure: ProblemStructure,
             config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
             x_flat0, z0, project_flat, dtype)
 
+    mb = n_ball * 3
     ub = u_fin[:mb].reshape(3, n_ball).T
     uh = u_fin[mb:]
     converged = (prim_res < config.eps_primal) & (dual_res < config.eps_dual)
@@ -478,10 +601,12 @@ def solve_qcqp(structure: ProblemStructure,
 
     # Outputs: coefficients + true-space violation check.
     sol = linear.solve_linear_with_free(structure, d_fixed, d_free, times)
-    yb_true = (jnp.einsum('bipd,pd->bi', cons.g_ball, d_free) + cons.b_ball)
-    viol_ball = jnp.max(jnp.linalg.norm(yb_true, axis=-1) - cons.r_ball)
-    yh_true = jnp.einsum('hpd,pd->h', cons.g_half, d_free) + cons.b_half
-    viol = jnp.maximum(viol_ball, jnp.max(yh_true))
+    if not config.use_pallas:
+        yb_true = (jnp.einsum('bipd,pd->bi', cons.g_ball, d_free)
+                   + cons.b_ball)
+        viol_ball = jnp.max(jnp.linalg.norm(yb_true, axis=-1) - cons.r_ball)
+        yh_true = jnp.einsum('hpd,pd->h', cons.g_half, d_free) + cons.b_half
+        viol = jnp.maximum(viol_ball, jnp.max(yh_true))
 
     # Original-space dual certificates: for the scaled system
     # grad f_eq + Geq^T (rho u) = 0; unscaling gives multipliers S * rho * u.
