@@ -471,8 +471,16 @@ def optimize_time_gradient(structure: ProblemStructure,
     dtype = jnp.result_type(d_fixed, times_init)
     times_init = jnp.asarray(times_init, dtype)
 
+    # Bound the log scaling to the reference's time box [t_lo, f_up * t_init]
+    # (optimizeTime, impl:342-378): an unbounded linesearch step overflows
+    # T^(2N-1) powers in float32 (observed on TPU: cost diverging to large
+    # negatives after ~30 iterations).
+    theta_lo = jnp.log(jnp.asarray(params.time_lower_bound, dtype)
+                       / times_init)
+    theta_hi = jnp.asarray(np.log(params.time_upper_factor), dtype)
+
     def fn(theta):
-        times = times_init * jnp.exp(theta)
+        times = times_init * jnp.exp(jnp.clip(theta, theta_lo, theta_hi))
         sol = linear.solve_linear(structure, jnp.asarray(d_fixed, dtype),
                                   times)
         return sol.cost + time_cost(times, params.time_penalty)
@@ -480,4 +488,5 @@ def optimize_time_gradient(structure: ProblemStructure,
     theta, values = _lbfgs_minimize(
         fn, jnp.zeros_like(times_init),
         params.max_iterations if n_iters is None else n_iters)
+    theta = jnp.clip(theta, theta_lo, theta_hi)
     return times_init * jnp.exp(theta), values
