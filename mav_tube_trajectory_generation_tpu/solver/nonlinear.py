@@ -406,7 +406,11 @@ def optimize(structure: ProblemStructure,
                 cost = cost + soft_constraint_cost(
                     structure, d_fixed, sol.d_free, times, constraints,
                     params)
-            return cost
+            # Physical guard: derivative energy >= 0; negative/non-finite
+            # means the float32 solve overflowed near the 0.1 s box edge
+            # (T^(1-2d) spans ~17 decades) -- repel the simplex from it.
+            return jnp.where(jnp.isfinite(cost) & (sol.cost >= 0.0), cost,
+                             jnp.asarray(jnp.inf, cost.dtype))
 
         theta0 = jnp.zeros_like(times_init)
         theta, _, _ = nelder_mead(fn, theta0, params.max_iterations,
@@ -483,7 +487,14 @@ def optimize_time_gradient(structure: ProblemStructure,
         times = times_init * jnp.exp(jnp.clip(theta, theta_lo, theta_hi))
         sol = linear.solve_linear(structure, jnp.asarray(d_fixed, dtype),
                                   times)
-        return sol.cost + time_cost(times, params.time_penalty)
+        cost = sol.cost + time_cost(times, params.time_penalty)
+        # Physical guard: the derivative energy is >= 0 by construction; a
+        # negative or non-finite value means the float32 solve overflowed
+        # (T^(1-2d) spans ~17 decades near the reference's 0.1 s box edge,
+        # fine in the reference's doubles, fatal in f32).  Return +inf so
+        # the linesearch backs off instead of diving into garbage.
+        return jnp.where(jnp.isfinite(cost) & (sol.cost >= 0.0), cost,
+                         jnp.asarray(jnp.inf, cost.dtype))
 
     theta, values = _lbfgs_minimize(
         fn, jnp.zeros_like(times_init),

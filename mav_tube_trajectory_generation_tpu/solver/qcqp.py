@@ -392,7 +392,9 @@ def _run_stages_pallas(config, gt, b_pad, rb_pad, nb_p, nh_p,
 
     f32 = jnp.float32
     m_p = 3 * nb_p + nh_p
-    nfd_p = admm_kernel.round_up(nfd, 8)
+    # No explicit sublane padding: Mosaic tiles (nfd, m_p) refs internally;
+    # the XLA-side pad ops to a multiple-of-8 row count were ~13 ms/batch.
+    nfd_p = nfd
 
     def project_pad(w):
         wx, wy, wz = (w[:, c * nb_p:(c + 1) * nb_p] for c in range(3))
