@@ -99,6 +99,16 @@ class NonlinearParameters:
     time_upper_factor: float = 2.0
     nelder_mead_scale: float = 0.15
     extrema_grid: int = 64
+    # Hard max-magnitude constraints (use_soft_constraints=False +
+    # constraints): augmented-Lagrangian rounds around L-BFGS -- the TPU
+    # analogue of the reference's NLOPT add_inequality_constraint path
+    # (addMaximumMagnitudeConstraint, nonlinear_impl.h:848-875).  The
+    # reference's inequality_constraint_tolerance default is 0.1
+    # (nonlinear.h:57).
+    inequality_constraint_tolerance: float = 0.1
+    al_rounds: int = 4
+    al_penalty: float = 10.0
+    al_penalty_growth: float = 4.0
 
 
 class CostBreakdown(NamedTuple):
@@ -420,11 +430,46 @@ def optimize(structure: ProblemStructure,
         d_free_fin = sol.d_free
     elif obj in (Objective.FREE_CONSTRAINTS,
                  Objective.FREE_CONSTRAINTS_AND_COLLISION):
-        def fn(d_free):
-            return total_cost(structure, d_fixed, d_free, times_init, params,
-                              constraints, field).total
-        d_free_fin, _ = _lbfgs_minimize(fn, d_free_init,
-                                        params.max_iterations)
+        hard = constraints and not params.use_soft_constraints
+
+        if hard:
+            # Augmented Lagrangian over the hard max-magnitude inequalities
+            # g_c = max||x^(der)|| - value <= 0 (the reference's NLOPT
+            # add_inequality_constraint path, impl:848-875, 2686-2733):
+            # minimize f + sum_c [ lam_c g_c + 0.5 mu relu(g_c + lam_c/mu)^2 ]
+            # with multiplier updates lam <- relu(lam + mu g) per round.
+            n_c = len(constraints)
+            inner_iters = max(params.max_iterations // params.al_rounds, 1)
+
+            def g_of(d_free):
+                return jnp.stack([
+                    max_magnitude_from_d(structure, d_fixed, d_free,
+                                         times_init, c.derivative,
+                                         params.extrema_grid) - c.value
+                    for c in constraints])
+
+            def al_cost(d_free, lam, mu):
+                base = total_cost(structure, d_fixed, d_free, times_init,
+                                  params, (), field).total
+                g = g_of(d_free)
+                shifted = jnp.maximum(g + lam / mu, 0.0)
+                return base + jnp.sum(0.5 * mu * shifted * shifted
+                                      - 0.5 * lam * lam / mu)
+
+            d_free_fin = d_free_init
+            lam = jnp.zeros((n_c,), dtype)
+            mu = jnp.asarray(params.al_penalty, dtype)
+            for _ in range(params.al_rounds):
+                d_free_fin, _ = _lbfgs_minimize(
+                    lambda d: al_cost(d, lam, mu), d_free_fin, inner_iters)
+                lam = jnp.maximum(lam + mu * g_of(d_free_fin), 0.0)
+                mu = mu * params.al_penalty_growth
+        else:
+            def fn(d_free):
+                return total_cost(structure, d_fixed, d_free, times_init,
+                                  params, constraints, field).total
+            d_free_fin, _ = _lbfgs_minimize(fn, d_free_init,
+                                            params.max_iterations)
         times_fin = times_init
     else:  # joint (d_free, theta) objectives
         # Bound the log-time scaling to the reference's spirit of

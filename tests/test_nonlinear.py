@@ -201,3 +201,32 @@ def test_format_result():
     res = nonlinear.optimize(structure, d_fixed, times, params)
     report = nonlinear.format_result(res)
     assert "cost trajectory" in report and "iterations: 3" in report
+
+
+def test_hard_magnitude_constraint_augmented_lagrangian():
+    """use_soft_constraints=False + constraints engages the augmented-
+    Lagrangian hard path (reference: NLOPT add_inequality_constraint,
+    nonlinear_impl.h:848-875): the final max ||v|| must respect the bound
+    within inequality_constraint_tolerance, and the derivative cost must
+    stay finite and above the unconstrained optimum."""
+    structure, d_fixed, times, _ = build(seed=7)
+    params0 = nonlinear.NonlinearParameters(
+        objective=nonlinear.Objective.FREE_CONSTRAINTS, max_iterations=40,
+        use_soft_constraints=False)
+    free0 = nonlinear.optimize(structure, d_fixed, times, params0)
+    vmax0 = float(nonlinear.max_magnitude_from_d(
+        structure, d_fixed, free0.d_free, times, 1))
+    bound = 0.8 * vmax0   # force the constraint to be active
+
+    cons = [nonlinear.MagnitudeConstraint(derivative=1, value=bound)]
+    res = nonlinear.optimize(structure, d_fixed, times, params0,
+                             constraints=cons)
+    vmax = float(nonlinear.max_magnitude_from_d(
+        structure, d_fixed, res.d_free, times, 1))
+    tol = params0.inequality_constraint_tolerance
+    assert vmax <= bound * (1.0 + tol), (vmax, bound)
+    # Constrained optimum cannot beat the unconstrained one.
+    assert float(res.cost.trajectory) >= float(free0.cost.trajectory) - 1e-6
+    assert np.isfinite(float(res.cost.total))
+    # maxima report reflects the constrained derivative.
+    assert 1 in res.maxima
