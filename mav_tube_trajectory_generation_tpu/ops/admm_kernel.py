@@ -39,7 +39,7 @@ def round_up(x: int, m: int) -> int:
 
 def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
             x_out, z_out, zp_out, u_out, prim_out,
-            *, n_iters: int, alpha: float, nb_p: int):
+            *, n_iters: int, alpha: float, nb_p: int, n_ball: int):
     rho = rho_ref[0, 0]
     m1 = m1_ref[:]                        # (nfd_p, m_p) == wgt
     gt = gt_ref[:]                        # (nfd_p, m_p) == G^T
@@ -48,15 +48,24 @@ def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
     xq = xq_ref[:]                        # (nfd_p, 1) column!
 
     def project(w):
+        # Ball planes: lanes < n_ball are the coupled (x,y,z) ball rows;
+        # lanes >= n_ball are PACKED half-space rows (the planes' padding
+        # tails carry independent half-space constraints -- 640 -> 512
+        # lanes for the flagship shape), projected by min(., 0).
         wx = w[:, 0:nb_p]
         wy = w[:, nb_p:2 * nb_p]
         wz = w[:, 2 * nb_p:3 * nb_p]
         sq = wx * wx + wy * wy + wz * wz
         scale = jnp.where(
             sq > rb * rb, rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 1.0)
-        zh = jnp.minimum(w[:, 3 * nb_p:], 0.0)
-        return jnp.concatenate(
-            [wx * scale, wy * scale, wz * scale, zh], axis=1)
+        ball = jax.lax.broadcasted_iota(jnp.int32, (1, nb_p), 1) < n_ball
+        px = jnp.where(ball, wx * scale, jnp.minimum(wx, 0.0))
+        py = jnp.where(ball, wy * scale, jnp.minimum(wy, 0.0))
+        pz = jnp.where(ball, wz * scale, jnp.minimum(wz, 0.0))
+        parts = [px, py, pz]
+        if w.shape[1] > 3 * nb_p:   # final half-space plane (may be absent)
+            parts.append(jnp.minimum(w[:, 3 * nb_p:], 0.0))
+        return jnp.concatenate(parts, axis=1)
 
     def body(_, carry):
         x, z, zp, u, prim = carry
@@ -80,23 +89,27 @@ def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
-                                             "interpret"))
+                                             "n_ball", "interpret"))
 def admm_stage(rho, m1, gt, b, rb, xq, z0, u0, *,
                   n_iters: int, alpha: float, nb_p: int,
-                  interpret: bool = False):
+                  n_ball: int = -1, interpret: bool = False):
     """One ADMM stage on-chip, VPU formulation.  Single scenario; vmap to
     batch (adds a grid axis).
 
     Args:
       rho: (1, 1).  m1/gt: (nfd_p, m_p).  b: (1, m_p).  rb: (1, nb_p).
       xq: (nfd_p, 1) COLUMN.  z0/u0: (1, m_p).
+      n_ball: lanes < n_ball of each ball plane are ball rows; the rest are
+        packed half-space rows (default: the whole plane is ball rows).
 
     Returns:
       (x (nfd_p, 1), z, z_prev, u (1, m_p), prim (1, 1)).
     """
     nfd_p, m_p = m1.shape
+    if n_ball < 0:
+        n_ball = nb_p
     kernel = functools.partial(_kernel, n_iters=n_iters, alpha=alpha,
-                               nb_p=nb_p)
+                               nb_p=nb_p, n_ball=n_ball)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,

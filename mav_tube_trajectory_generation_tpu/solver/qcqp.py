@@ -106,6 +106,49 @@ class _ConstraintSystem(NamedTuple):
                               #  folded: y <= 0 with offset inside)
 
 
+class _PadLayout(NamedTuple):
+    """Static description of the packed component-plane lane layout.
+
+    Each of the 3 ball planes is nb_p lanes: [ball rows (n_ball) | packed
+    half-space rows (tail)]; remaining half rows go to a final plane of
+    nh_p lanes.  Packing the tails cuts the flagship shape from 640 to 512
+    lanes (~20% of the kernel's VPU work)."""
+    n_ball: int
+    n_half: int
+    nb_p: int
+    nh_p: int
+
+    @property
+    def tail(self) -> int:
+        return self.nb_p - self.n_ball
+
+    @property
+    def m_p(self) -> int:
+        return 3 * self.nb_p + self.nh_p
+
+    def half_chunks(self):
+        """[(plane_index, lane_offset, half_offset, length)] covering all
+        n_half rows: planes 0-2 tails first, then the final plane."""
+        out = []
+        for c in range(3):
+            off = c * self.tail
+            ln = max(0, min(self.tail, self.n_half - off))
+            if ln:
+                out.append((c, self.n_ball, off, ln))
+        rest = min(3 * self.tail, self.n_half)
+        if self.n_half - rest:
+            out.append((3, 0, rest, self.n_half - rest))
+        return out
+
+    @staticmethod
+    def make(n_ball: int, n_half: int) -> "_PadLayout":
+        from ..ops import admm_kernel
+        nb_p = admm_kernel.round_up(max(n_ball, 1), 128)
+        rest = max(n_half - 3 * (nb_p - n_ball), 0)
+        nh_p = admm_kernel.round_up(rest, 128) if rest else 0
+        return _PadLayout(n_ball, n_half, nb_p, nh_p)
+
+
 def _control_point_maps(structure: ProblemStructure, times: jnp.ndarray,
                         d_fixed: jnp.ndarray):
     """(cp0 (K, N, D), Ecp (K, N, n_free)): affine map cp = cp0 + Ecp x."""
@@ -210,7 +253,7 @@ def _padded_constraint_system(structure: ProblemStructure,
                               waypoints: jnp.ndarray,
                               radii: jnp.ndarray,
                               d_scale: jnp.ndarray,
-                              nb_p: int, nh_p: int,
+                              layout: _PadLayout,
                               f_sphere: float = 1.0,
                               f_tube: float = 1.0,
                               f_half: float = 1.0):
@@ -277,13 +320,32 @@ def _padded_constraint_system(structure: ProblemStructure,
                          ecp_s[:, mid] * sh_kj[..., None], dirs)
     gt_half = gt_half.reshape(nfd, n_half)
 
-    zb = jnp.zeros((nfd, nb_p - n_ball), f32)
+    # Packed plane layout (see _PadLayout): ball planes carry half-space
+    # rows in their padding tails.
+    chunk_by_plane = {c: (off, ln)
+                      for (c, _, off, ln) in layout.half_chunks()}
+    gt_half32 = gt_half.astype(f32)
+
+    def plane_parts(c, ball_part):
+        parts = list(ball_part)
+        used = n_ball if c < 3 else 0
+        if c in chunk_by_plane:
+            off, ln = chunk_by_plane[c]
+            parts.append(gt_half32[..., off:off + ln]
+                         if ball_part else gt_half32[:, off:off + ln])
+            used += ln
+        width = layout.nb_p if c < 3 else layout.nh_p
+        if width - used:
+            parts.append(jnp.zeros(parts[0].shape[:-1] + (width - used,),
+                                   f32))
+        return parts
+
     parts = []
     for c in range(3):
-        parts.extend([
-            gt_sph[:, c].astype(f32), gt_tube[:, c].astype(f32), zb])
-    parts.extend([gt_half.astype(f32),
-                  jnp.zeros((nfd, nh_p - n_half), f32)])
+        parts.extend(plane_parts(
+            c, [gt_sph[:, c].astype(f32), gt_tube[:, c].astype(f32)]))
+    if layout.nh_p:
+        parts.extend(plane_parts(3, []))
     gt = jnp.concatenate(parts, axis=1)                    # (nfd, m_p)
 
     # --- Offsets / radii (small tensors). ----------------------------------
@@ -299,20 +361,32 @@ def _padded_constraint_system(structure: ProblemStructure,
               - jnp.einsum('ksd,ksd->ks', dirs, caps)[:, None, :]) \
         * sh_kj[..., None]                                 # (K, M, 2)
 
-    zb1 = jnp.zeros((nb_p - n_ball,), f32)
+    b_half_flat = b_half.reshape(-1).astype(f32)
     bparts = []
     for c in range(3):
-        bparts.extend([b_sph[:, c].astype(f32),
-                       b_tube[..., c].reshape(-1).astype(f32), zb1])
-    bparts.extend([b_half.reshape(-1).astype(f32),
-                   jnp.zeros((nh_p - n_half,), f32)])
+        seg = [b_sph[:, c].astype(f32),
+               b_tube[..., c].reshape(-1).astype(f32)]
+        used = n_ball
+        if c in chunk_by_plane:
+            off, ln = chunk_by_plane[c]
+            seg.append(b_half_flat[off:off + ln])
+            used += ln
+        if layout.nb_p - used:
+            seg.append(jnp.zeros((layout.nb_p - used,), f32))
+        bparts.extend(seg)
+    if layout.nh_p:
+        off, ln = chunk_by_plane[3]
+        bparts.extend([b_half_flat[off:off + ln],
+                       jnp.zeros((layout.nh_p - ln,), f32)])
     b_pad = jnp.concatenate(bparts)[None, :]               # (1, m_p)
 
     rb = jnp.concatenate([radii[:k - 1, 1] * sb_sph,
                           (jnp.broadcast_to(radii[:, :1], (k, n_mid))
                            * sb_tube).reshape(-1)])
+    # Tail lanes are half-space rows; the projection masks them off the
+    # ball path, so their radius entry is inert (set to 1).
     rb_pad = jnp.concatenate([rb.astype(f32),
-                              jnp.ones((nb_p - n_ball,), f32)])[None, :]
+                              jnp.ones((layout.tail,), f32)])[None, :]
     sb = jnp.concatenate([sb_sph, sb_tube.reshape(-1)])
     sh = jnp.broadcast_to(sh_kj[..., None], (k, n_mid, 2)).reshape(-1)
     return gt, b_pad, rb_pad, sb, sh
@@ -370,9 +444,8 @@ def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
     return x_fin, z_fin, u_fin, rho, prim_res, dual_res
 
 
-def _run_stages_pallas(config, gt, b_pad, rb_pad, nb_p, nh_p,
-                       n_ball, n_half, p_big, eye_kkt, q_flat,
-                       x_flat0, nfd, out_dtype):
+def _run_stages_pallas(config, gt, b_pad, rb_pad, layout, p_big, eye_kkt,
+                       q_flat, x_flat0, nfd, out_dtype):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
     Works on float32 padded layouts (ops/admm_kernel.py: both matrices in
@@ -385,25 +458,32 @@ def _run_stages_pallas(config, gt, b_pad, rb_pad, nb_p, nh_p,
     contribute nothing to the Gram matrix), and no unpadded (m, nfd) G is
     ever materialized.
 
-    Returns (x, z_pad, u_pad, y_fin, rho, prim, dual) -- z/u in the padded
-    layout; y_fin = G x + b for the caller's violation check.
+    Returns (x, z, u, y, rho, prim, dual) -- z/u/y unpadded, in the flat
+    [ball-x | ball-y | ball-z | half] order; y = G x + b (scaled space) for
+    the caller's violation check.
     """
     from ..ops import admm_kernel
 
     f32 = jnp.float32
-    m_p = 3 * nb_p + nh_p
+    nb_p, n_ball = layout.nb_p, layout.n_ball
+    m_p = layout.m_p
     # No explicit sublane padding: Mosaic tiles (nfd, m_p) refs internally;
     # the XLA-side pad ops to a multiple-of-8 row count were ~13 ms/batch.
     nfd_p = nfd
 
     def project_pad(w):
+        # Mirrors the kernel's packed projection (ops/admm_kernel._kernel):
+        # tail lanes of the ball planes hold half-space rows.
         wx, wy, wz = (w[:, c * nb_p:(c + 1) * nb_p] for c in range(3))
         sq = wx * wx + wy * wy + wz * wz
         scale = jnp.where(sq > rb_pad * rb_pad,
                           rb_pad / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
-        return jnp.concatenate(
-            [wx * scale, wy * scale, wz * scale,
-             jnp.minimum(w[:, 3 * nb_p:], 0.0)], axis=1)
+        ball = (jnp.arange(nb_p) < n_ball)[None, :]
+        parts = [jnp.where(ball, v * scale, jnp.minimum(v, 0.0))
+                 for v in (wx, wy, wz)]
+        if layout.nh_p:
+            parts.append(jnp.minimum(w[:, 3 * nb_p:], 0.0))
+        return jnp.concatenate(parts, axis=1)
 
     gt_pad = jnp.concatenate(
         [gt, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
@@ -431,7 +511,7 @@ def _run_stages_pallas(config, gt, b_pad, rb_pad, nb_p, nh_p,
         x, z, z_prev, u, prim = admm_kernel.admm_stage(
             jnp.reshape(rho, (1, 1)).astype(f32), m1_pad, gt_pad, b_pad,
             rb_pad, xq_pad, z, u, n_iters=config.n_iters,
-            alpha=config.alpha, nb_p=nb_p)
+            alpha=config.alpha, nb_p=nb_p, n_ball=n_ball)
         prim_res = prim[0, 0]
         # Padded entries of z are fixed points of the iteration (y=0, b=0),
         # so dz is zero there and the padded matvec is exact.
@@ -444,13 +524,15 @@ def _run_stages_pallas(config, gt, b_pad, rb_pad, nb_p, nh_p,
             rho = new_rho
 
     def unpad(vp):
+        """Padded (1, m_p) -> flat [ball-x|ball-y|ball-z|half] order."""
         cols = [vp[0, c * nb_p:c * nb_p + n_ball] for c in range(3)]
-        return jnp.concatenate(
-            cols + [vp[0, 3 * nb_p:3 * nb_p + n_half]]).astype(out_dtype)
+        half = [vp[0, c * nb_p + lane:c * nb_p + lane + ln]
+                for (c, lane, _, ln) in layout.half_chunks()]
+        return jnp.concatenate(cols + half).astype(out_dtype)
 
     y_fin = (x[:nfd].T @ gt) + b_pad                      # (1, m_p), scaled
     x_fin = x[:nfd, 0].astype(out_dtype)
-    return (x_fin, unpad(z), unpad(u), y_fin, rho.astype(out_dtype),
+    return (x_fin, unpad(z), unpad(u), unpad(y_fin), rho.astype(out_dtype),
             prim_res.astype(out_dtype), dual_res.astype(out_dtype))
 
 
@@ -513,27 +595,24 @@ def solve_qcqp(structure: ProblemStructure,
         # Fused path: the equilibrated system is assembled directly in the
         # kernel's padded component-plane layout (no unpadded G, no big
         # repacks); the violation check reuses the final scaled y = Gx + b.
-        from ..ops import admm_kernel
         k_seg = structure.n_segments
         n_co = structure.n_coefficients
         n_ball = (k_seg - 1) + k_seg * (n_co - 2)
         n_half = k_seg * (n_co - 2) * 2
-        nb_p = admm_kernel.round_up(max(n_ball, 1), 128)
-        nh_p = admm_kernel.round_up(max(n_half, 1), 128)
+        layout = _PadLayout.make(n_ball, n_half)
         gt, b_pad, rb_pad, sb, sh = _padded_constraint_system(
-            structure, times, d_fixed, waypoints, radii, d_scale, nb_p, nh_p,
+            structure, times, d_fixed, waypoints, radii, d_scale, layout,
             config.rho_sphere_factor, config.rho_tube_factor,
             config.rho_half_factor)
         (x_fin_flat, z_fin, u_fin, y_fin, rho, prim_res,
          dual_res) = _run_stages_pallas(
-            config, gt, b_pad, rb_pad, nb_p, nh_p, n_ball, n_half,
+            config, gt, b_pad, rb_pad, layout,
             p_big, eye_kkt, q_flat, x_flat0, nfd, dtype)
         # True-space violation from the scaled y: y_scaled = s * y_true.
-        yb_pl = jnp.stack([y_fin[0, c * nb_p:c * nb_p + n_ball]
-                           for c in range(3)])             # (3, n_ball)
+        yb_pl = y_fin[:3 * n_ball].reshape(3, n_ball)
         nb_norm = jnp.linalg.norm(yb_pl, axis=0)
         viol_ball = jnp.max((nb_norm - rb_pad[0, :n_ball]) / sb)
-        yh = y_fin[0, 3 * nb_p:3 * nb_p + n_half]
+        yh = y_fin[3 * n_ball:]
         viol = jnp.maximum(viol_ball, jnp.max(yh / sh)).astype(dtype)
     else:
         cons = build_constraints(structure, times, d_fixed, waypoints, radii)
