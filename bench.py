@@ -91,20 +91,24 @@ def main():
     def full_solve(df_std_b, df_free_b, times_b, waypoints_b, radii_b):
         """QP (standard mask) + tube QCQP warm-started from it: one scenario
         pass of BASELINE config 4.  float32 with full-precision matmuls
-        (bf16 passes lose ADMM feasibility)."""
-        def per_scenario(df_s, df_f, t, w, r):
-            with jax.default_matmul_precision('highest'):
+        (bf16 passes lose ADMM feasibility).  The QCQP runs through
+        solve_qcqp_batch: 4 scenarios per Pallas kernel instance to hide
+        the latency-bound iteration chain."""
+        with jax.default_matmul_precision('highest'):
+            def warm(df_s, t):
                 # schur: matmul-only R_pp inverse -- no Cholesky custom call
                 # (equilibrated std-family R_pp has cond ~5e2; safe in f32).
                 lin = linear.solve_linear(std, df_s, t, method="schur")
                 # Warm start: endpoint derivatives of the position-
                 # constrained solution in the free-interior layout.
                 d_all = jnp.concatenate([lin.d_fixed, lin.d_free], axis=-2)
-                x0 = jnp.take(d_all, jnp.asarray(warm_idx), axis=-2)
-                con = qcqp.solve_qcqp(free, df_f, t, w, r, config=admm, x0=x0)
-            return lin.cost, con.cost, con.max_violation, con.converged
-        return jax.vmap(per_scenario)(df_std_b, df_free_b, times_b,
-                                      waypoints_b, radii_b)
+                return lin.cost, jnp.take(d_all, jnp.asarray(warm_idx),
+                                          axis=-2)
+            lin_cost, x0 = jax.vmap(warm)(df_std_b, times_b)
+            con = qcqp.solve_qcqp_batch(free, df_free_b, times_b, waypoints_b,
+                                        radii_b, config=admm, x0=x0,
+                                        scenario_block=4)
+        return lin_cost, con.cost, con.max_violation, con.converged
 
     solve = jax.jit(full_solve)
     dt, out = time_fn(solve, (df_std, df_free, times, waypoints, radii),

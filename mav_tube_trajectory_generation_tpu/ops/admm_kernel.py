@@ -1,26 +1,33 @@
 """Pallas TPU kernel for the ADMM inner loop: VPU broadcast-reduce matvecs.
 
 Why a kernel: one ADMM stage runs n_iters sequential iterations, each needing
-the per-scenario matrices (~0.35 MB each).  The XLA scan re-streams both from
+the per-scenario matrices (~0.28 MB each).  The XLA scan re-streams both from
 HBM every iteration (~GBs/iteration at batch 8192), making the solver
 HBM-bandwidth-bound; here they stay VMEM-resident for the whole stage.
 
 A naive MXU formulation (jnp.dot with a 1-row operand) wastes 7/8 of the
 systolic array's sublanes and pads nfd to a 256-lane multiple.  Instead both
 matvecs are elementwise broadcast-multiplies followed by lane/sublane
-reductions on the VPU, with BOTH matrices stored in the same (nfd_p, m_p)
+reductions on the VPU, with BOTH matrices stored in the same (nfd, m_p)
 orientation:
 
-    x_col (nfd_p, 1) = sum_lanes   ( M1 (nfd_p, m_p) * v_row (1, m_p) )
-    y_row (1, m_p)   = sum_sublane ( Gt (nfd_p, m_p) * x_col (nfd_p, 1) )
+    x_col (nfd, 1) = sum_lanes   ( M1 (nfd, m_p) * v_row (1, m_p) )
+    y_row (1, m_p) = sum_sublane ( Gt (nfd, m_p) * x_col (nfd, 1) )
 
 where M1 = wgt (the KKT-inverse-times-G^T) and Gt = G^T.  The alternating
-row/column vector orientation means no transposes anywhere, nfd pads to a
-sublane multiple (136) instead of a lane multiple (256), and each matrix is
-348 KB -- both stay VMEM-resident for the whole stage.
+row/column vector orientation means no transposes anywhere.
 
-Constraint vector layout (lanes): [ball-x | ball-y | ball-z | halfspace],
-each plane padded to a 128 multiple, exactly as v1.
+Scenario blocking: every ref carries a leading S axis and one kernel
+instance runs S independent scenarios.  The iteration is a sequential
+dependency chain of small reduces -- LATENCY-bound, not throughput-bound
+(measured: halving the lane count changed nothing) -- so interleaving S
+chains hides the latency: S=4 runs the same batch in ~55% of the S=1 wall
+time on a v5e.  S is capped by the ~16 MB scoped VMEM (S=4 uses ~9 MB for
+the flagship shape).
+
+Constraint vector layout (lanes): [ball-x | ball-y | ball-z | half], each
+ball plane nb_p lanes with lanes >= n_ball carrying packed half-space rows
+(solver.qcqp._PadLayout).
 """
 
 from __future__ import annotations
@@ -40,52 +47,52 @@ def round_up(x: int, m: int) -> int:
 def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
             x_out, z_out, zp_out, u_out, prim_out,
             *, n_iters: int, alpha: float, nb_p: int, n_ball: int):
-    rho = rho_ref[0, 0]
-    m1 = m1_ref[:]                        # (nfd_p, m_p) == wgt
-    gt = gt_ref[:]                        # (nfd_p, m_p) == G^T
-    b = b_ref[:]                          # (1, m_p)
-    rb = rb_ref[:]                        # (1, nb_p)
-    xq = xq_ref[:]                        # (nfd_p, 1) column!
+    rho = rho_ref[:]                      # (S, 1, 1)
+    m1 = m1_ref[:]                        # (S, nfd, m_p) == wgt
+    gt = gt_ref[:]                        # (S, nfd, m_p) == G^T
+    b = b_ref[:]                          # (S, 1, m_p)
+    rb = rb_ref[:]                        # (S, 1, nb_p)
+    xq = xq_ref[:]                        # (S, nfd, 1) column!
 
     def project(w):
         # Ball planes: lanes < n_ball are the coupled (x,y,z) ball rows;
-        # lanes >= n_ball are PACKED half-space rows (the planes' padding
-        # tails carry independent half-space constraints -- 640 -> 512
-        # lanes for the flagship shape), projected by min(., 0).
-        wx = w[:, 0:nb_p]
-        wy = w[:, nb_p:2 * nb_p]
-        wz = w[:, 2 * nb_p:3 * nb_p]
+        # lanes >= n_ball are PACKED half-space rows, projected by min(.,0).
+        wx = w[:, :, 0:nb_p]
+        wy = w[:, :, nb_p:2 * nb_p]
+        wz = w[:, :, 2 * nb_p:3 * nb_p]
         sq = wx * wx + wy * wy + wz * wz
         scale = jnp.where(
             sq > rb * rb, rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 1.0)
-        ball = jax.lax.broadcasted_iota(jnp.int32, (1, nb_p), 1) < n_ball
-        px = jnp.where(ball, wx * scale, jnp.minimum(wx, 0.0))
-        py = jnp.where(ball, wy * scale, jnp.minimum(wy, 0.0))
-        pz = jnp.where(ball, wz * scale, jnp.minimum(wz, 0.0))
-        parts = [px, py, pz]
-        if w.shape[1] > 3 * nb_p:   # final half-space plane (may be absent)
-            parts.append(jnp.minimum(w[:, 3 * nb_p:], 0.0))
-        return jnp.concatenate(parts, axis=1)
+        ball = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb_p), 2) < n_ball
+        parts = [jnp.where(ball, wx * scale, jnp.minimum(wx, 0.0)),
+                 jnp.where(ball, wy * scale, jnp.minimum(wy, 0.0)),
+                 jnp.where(ball, wz * scale, jnp.minimum(wz, 0.0))]
+        if w.shape[2] > 3 * nb_p:   # final half-space plane (may be absent)
+            parts.append(jnp.minimum(w[:, :, 3 * nb_p:], 0.0))
+        return jnp.concatenate(parts, axis=2)
 
     def body(_, carry):
         x, z, zp, u, prim = carry
-        v = z - u - b                                     # (1, m_p)
-        x_new = xq + rho * jnp.sum(m1 * v, axis=1, keepdims=True)
-        y = jnp.sum(gt * x_new, axis=0, keepdims=True) + b
+        v = z - u - b                                     # (S, 1, m_p)
+        x_new = xq + rho * jnp.sum(m1 * v, axis=2, keepdims=True)
+        y = jnp.sum(gt * x_new, axis=1, keepdims=True) + b
         y_rel = alpha * y + (1.0 - alpha) * z
         z_new = project(y_rel + u)
         u_new = u + y_rel - z_new
-        prim = jnp.max(jnp.abs(y - z_new))
+        # Single-axis reduce: y/z are (S, 1, m_p), so axis=2 alone yields
+        # (S, 1, 1).  (A multi-axis keepdims reduce crashes Mosaic's
+        # VectorLayoutInferer::inferReshape on v5e.)
+        prim = jnp.max(jnp.abs(y - z_new), axis=2, keepdims=True)
         return x_new, z_new, z, u_new, prim
 
     init = (xq, z0_ref[:], z0_ref[:], u0_ref[:],
-            jnp.asarray(jnp.inf, jnp.float32))
+            jnp.full(rho.shape, jnp.inf, jnp.float32))
     x, z, zp, u, prim = jax.lax.fori_loop(0, n_iters, body, init)
     x_out[:] = x
     z_out[:] = z
     zp_out[:] = zp
     u_out[:] = u
-    prim_out[0, 0] = prim
+    prim_out[:] = prim
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
@@ -93,19 +100,19 @@ def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
 def admm_stage(rho, m1, gt, b, rb, xq, z0, u0, *,
                   n_iters: int, alpha: float, nb_p: int,
                   n_ball: int = -1, interpret: bool = False):
-    """One ADMM stage on-chip, VPU formulation.  Single scenario; vmap to
+    """One ADMM stage on-chip for an S-scenario block; vmap over blocks to
     batch (adds a grid axis).
 
     Args:
-      rho: (1, 1).  m1/gt: (nfd_p, m_p).  b: (1, m_p).  rb: (1, nb_p).
-      xq: (nfd_p, 1) COLUMN.  z0/u0: (1, m_p).
+      rho: (S, 1, 1).  m1/gt: (S, nfd, m_p).  b: (S, 1, m_p).
+      rb: (S, 1, nb_p).  xq: (S, nfd, 1) COLUMN.  z0/u0: (S, 1, m_p).
       n_ball: lanes < n_ball of each ball plane are ball rows; the rest are
         packed half-space rows (default: the whole plane is ball rows).
 
     Returns:
-      (x (nfd_p, 1), z, z_prev, u (1, m_p), prim (1, 1)).
+      (x (S, nfd, 1), z, z_prev, u (S, 1, m_p), prim (S, 1, 1)).
     """
-    nfd_p, m_p = m1.shape
+    s, nfd, m_p = m1.shape
     if n_ball < 0:
         n_ball = nb_p
     kernel = functools.partial(_kernel, n_iters=n_iters, alpha=alpha,
@@ -114,14 +121,13 @@ def admm_stage(rho, m1, gt, b, rb, xq, z0, u0, *,
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((nfd_p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, m_p), jnp.float32),
-            jax.ShapeDtypeStruct((1, m_p), jnp.float32),
-            jax.ShapeDtypeStruct((1, m_p), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, nfd, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, 1), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 7,
-        out_specs=(vmem, vmem, vmem, vmem,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        in_specs=[vmem] * 8,
+        out_specs=(vmem,) * 5,
         interpret=interpret,
     )(rho, m1, gt, b, rb, xq, z0, u0)

@@ -269,8 +269,8 @@ def _padded_constraint_system(structure: ProblemStructure,
     profile showed the transpose/slice/concat chain of the generic path
     costing ~40 ms/batch at 6144.
 
-    Returns (gt (nfd, m_p), b_pad (1, m_p), rb_pad (1, nb_p),
-             sb (n_ball,), sh (n_half,)) in float32.
+    Returns (gt (nfd, m_p), b_pad (1, m_p), rb (n_ball,) scaled radii,
+             sb (n_ball,), sh (n_half,)); gt/b_pad/rb in float32.
     """
     k = structure.n_segments
     n = structure.n_coefficients
@@ -382,14 +382,10 @@ def _padded_constraint_system(structure: ProblemStructure,
 
     rb = jnp.concatenate([radii[:k - 1, 1] * sb_sph,
                           (jnp.broadcast_to(radii[:, :1], (k, n_mid))
-                           * sb_tube).reshape(-1)])
-    # Tail lanes are half-space rows; the projection masks them off the
-    # ball path, so their radius entry is inert (set to 1).
-    rb_pad = jnp.concatenate([rb.astype(f32),
-                              jnp.ones((layout.tail,), f32)])[None, :]
+                           * sb_tube).reshape(-1)]).astype(f32)
     sb = jnp.concatenate([sb_sph, sb_tube.reshape(-1)])
     sh = jnp.broadcast_to(sh_kj[..., None], (k, n_mid, 2)).reshape(-1)
-    return gt, b_pad, rb_pad, sb, sh
+    return gt, b_pad, rb, sb, sh
 
 
 def _project(z_ball: jnp.ndarray, r_ball: jnp.ndarray,
@@ -444,13 +440,18 @@ def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
     return x_fin, z_fin, u_fin, rho, prim_res, dual_res
 
 
-def _run_stages_pallas(config, gt, b_pad, rb_pad, layout, p_big, eye_kkt,
+def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
                        q_flat, x_flat0, nfd, out_dtype):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
-    Works on float32 padded layouts (ops/admm_kernel.py: both matrices in
-    (nfd_p, m_p) orientation, VPU broadcast-reduce matvecs); per-stage rho
-    adaptation and the KKT (re)inverse stay in XLA.
+    ALL array arguments carry a leading scenario-block axis S: one kernel
+    instance runs S independent scenarios whose sequential dependency chains
+    interleave, hiding the per-iteration reduce latency (S=4 runs the same
+    batch in ~55% of the S=1 wall time -- the iteration is latency-bound,
+    not lane-throughput-bound).  Shapes: gt (S, nfd, m_p), b_pad (S, 1,
+    m_p), rb (S, n_ball), p_big (S, nfd, nfd), q_flat (S, nfd),
+    x_flat0 (S, nfd); per-stage rho adaptation and the KKT (re)inverse stay
+    in XLA, batched over S.
 
     ``gt`` arrives from _padded_constraint_system already equilibrated and in
     the padded component-plane layout: G^T G and the KKT-inverse product
@@ -458,82 +459,176 @@ def _run_stages_pallas(config, gt, b_pad, rb_pad, layout, p_big, eye_kkt,
     contribute nothing to the Gram matrix), and no unpadded (m, nfd) G is
     ever materialized.
 
-    Returns (x, z, u, y, rho, prim, dual) -- z/u/y unpadded, in the flat
-    [ball-x | ball-y | ball-z | half] order; y = G x + b (scaled space) for
-    the caller's violation check.
+    Returns (x (S, nfd), z, u, y (S, m), rho, prim, dual (S,)) -- z/u/y
+    unpadded, in the flat [ball-x | ball-y | ball-z | half] order;
+    y = G x + b (scaled space) for the caller's violation check.
     """
     from ..ops import admm_kernel
 
     f32 = jnp.float32
     nb_p, n_ball = layout.nb_p, layout.n_ball
-    m_p = layout.m_p
-    # No explicit sublane padding: Mosaic tiles (nfd, m_p) refs internally;
-    # the XLA-side pad ops to a multiple-of-8 row count were ~13 ms/batch.
-    nfd_p = nfd
+    s = gt.shape[0]
+    # Tail lanes are half-space rows; the projection masks them off the
+    # ball path, so their radius entry is inert (set to 1).
+    rb_pad = jnp.concatenate(
+        [rb.astype(f32), jnp.ones((s, layout.tail), f32)],
+        axis=-1)[:, None, :]                              # (S, 1, nb_p)
 
     def project_pad(w):
         # Mirrors the kernel's packed projection (ops/admm_kernel._kernel):
         # tail lanes of the ball planes hold half-space rows.
-        wx, wy, wz = (w[:, c * nb_p:(c + 1) * nb_p] for c in range(3))
+        wx, wy, wz = (w[:, :, c * nb_p:(c + 1) * nb_p] for c in range(3))
         sq = wx * wx + wy * wy + wz * wz
         scale = jnp.where(sq > rb_pad * rb_pad,
                           rb_pad / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
-        ball = (jnp.arange(nb_p) < n_ball)[None, :]
+        ball = (jnp.arange(nb_p) < n_ball)[None, None, :]
         parts = [jnp.where(ball, v * scale, jnp.minimum(v, 0.0))
                  for v in (wx, wy, wz)]
         if layout.nh_p:
-            parts.append(jnp.minimum(w[:, 3 * nb_p:], 0.0))
-        return jnp.concatenate(parts, axis=1)
+            parts.append(jnp.minimum(w[:, :, 3 * nb_p:], 0.0))
+        return jnp.concatenate(parts, axis=2)
 
-    gt_pad = jnp.concatenate(
-        [gt, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
-    gtg = gt @ gt.T                                       # (nfd, nfd)
-    x0_col = x_flat0.astype(f32)[:, None]                 # (nfd, 1)
-    z = project_pad((x0_col.T @ gt) + b_pad)              # (1, m_p)
+    gt = gt.astype(f32)
+    gtg = gt @ jnp.swapaxes(gt, -1, -2)                   # (S, nfd, nfd)
+    x = x_flat0.astype(f32)[:, :, None]                   # (S, nfd, 1)
+    z = project_pad(jnp.swapaxes(x, -1, -2) @ gt + b_pad)  # (S, 1, m_p)
     u = jnp.zeros_like(z)
-    x = jnp.concatenate(
-        [x0_col, jnp.zeros((nfd_p - nfd, 1), f32)], axis=0)
 
     spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"
                else linalg.spd_inverse)
-    rho = jnp.asarray(config.rho, f32)
-    prim_res = jnp.asarray(jnp.inf, f32)
-    dual_res = jnp.asarray(jnp.inf, f32)
+    rho = jnp.full((s, 1, 1), config.rho, f32)
+    prim_res = jnp.full((s,), jnp.inf, f32)
+    dual_res = jnp.full((s,), jnp.inf, f32)
     for stage in range(config.n_stages):
-        kkt = (p_big + rho * gtg + config.sigma * eye_kkt).astype(f32)
-        w_inv = spd_inv(kkt)
-        m1 = w_inv @ gt                                    # (nfd, m_p) padded
-        m1_pad = jnp.concatenate(
-            [m1, jnp.zeros((nfd_p - nfd, m_p), f32)], axis=0)
-        xq = -(w_inv @ q_flat.astype(f32))
-        xq_pad = jnp.concatenate(
-            [xq[:, None], jnp.zeros((nfd_p - nfd, 1), f32)], axis=0)
+        kkt = (p_big + rho * gtg
+               + config.sigma * jnp.eye(nfd, dtype=f32)).astype(f32)
+        w_inv = spd_inv(kkt)                               # (S, nfd, nfd)
+        m1 = w_inv @ gt                                    # (S, nfd, m_p)
+        xq = -(w_inv @ q_flat.astype(f32)[:, :, None])     # (S, nfd, 1)
         x, z, z_prev, u, prim = admm_kernel.admm_stage(
-            jnp.reshape(rho, (1, 1)).astype(f32), m1_pad, gt_pad, b_pad,
-            rb_pad, xq_pad, z, u, n_iters=config.n_iters,
+            rho, m1, gt, b_pad, rb_pad, xq, z, u, n_iters=config.n_iters,
             alpha=config.alpha, nb_p=nb_p, n_ball=n_ball)
-        prim_res = prim[0, 0]
+        prim_res = prim[:, 0, 0]
         # Padded entries of z are fixed points of the iteration (y=0, b=0),
         # so dz is zero there and the padded matvec is exact.
-        dual_res = rho * jnp.max(jnp.abs(gt @ (z - z_prev)[0]))
+        dual_res = rho[:, 0, 0] * jnp.max(
+            jnp.abs(gt @ jnp.swapaxes(z - z_prev, -1, -2)), axis=(-2, -1))
         if stage + 1 < config.n_stages:
             ratio = jnp.sqrt(jnp.maximum(prim_res, 1e-30)
-                             / jnp.maximum(dual_res, 1e-30))
+                             / jnp.maximum(dual_res, 1e-30))[:, None, None]
             new_rho = jnp.clip(rho * ratio, config.rho_min, config.rho_max)
             u = u * (rho / new_rho)
             rho = new_rho
 
     def unpad(vp):
-        """Padded (1, m_p) -> flat [ball-x|ball-y|ball-z|half] order."""
-        cols = [vp[0, c * nb_p:c * nb_p + n_ball] for c in range(3)]
-        half = [vp[0, c * nb_p + lane:c * nb_p + lane + ln]
+        """Padded (S, 1, m_p) -> (S, m) flat [ball-x|ball-y|ball-z|half]."""
+        cols = [vp[:, 0, c * nb_p:c * nb_p + n_ball] for c in range(3)]
+        half = [vp[:, 0, c * nb_p + lane:c * nb_p + lane + ln]
                 for (c, lane, _, ln) in layout.half_chunks()]
-        return jnp.concatenate(cols + half).astype(out_dtype)
+        return jnp.concatenate(cols + half, axis=-1).astype(out_dtype)
 
-    y_fin = (x[:nfd].T @ gt) + b_pad                      # (1, m_p), scaled
-    x_fin = x[:nfd, 0].astype(out_dtype)
-    return (x_fin, unpad(z), unpad(u), unpad(y_fin), rho.astype(out_dtype),
+    y_fin = jnp.swapaxes(x, -1, -2) @ gt + b_pad          # (S, 1, m_p)
+    x_fin = x[:, :, 0].astype(out_dtype)
+    return (x_fin, unpad(z), unpad(u), unpad(y_fin),
+            rho[:, 0, 0].astype(out_dtype),
             prim_res.astype(out_dtype), dual_res.astype(out_dtype))
+
+
+class _PallasPre(NamedTuple):
+    """Per-scenario pre-kernel tensors (equilibrated, padded layout)."""
+    gt: jnp.ndarray           # (nfd, m_p)
+    b_pad: jnp.ndarray        # (1, m_p)
+    rb: jnp.ndarray           # (n_ball,) scaled radii
+    sb: jnp.ndarray           # (n_ball,)
+    sh: jnp.ndarray           # (n_half,)
+    p_big: jnp.ndarray        # (nfd, nfd)
+    q_flat: jnp.ndarray       # (nfd,)
+    x_flat0: jnp.ndarray      # (nfd,)
+    d_scale: jnp.ndarray      # (n_free,)
+
+
+def _objective_blocks(structure, d_fixed, times, config, x0, dtype):
+    """Equilibrated objective (p_eq/q_eq/d_scale) + scaled warm start."""
+    nf = structure.n_fixed
+    n_free = structure.n_free
+    # Objective blocks: per-dim quadratic with the same R_pp
+    # (constructRkDim, qcqp_impl.h:189-221, is block-diagonal over dims).
+    r = linear.assemble_r(structure, times)
+    r_pf = r[nf:, :nf]
+    r_pp = r[nf:, nf:]
+    q_lin = jnp.einsum('pf,fd->pd', r_pf, d_fixed)        # 0.5 grad at x=0
+    # Cost scaling: x = d_scale * x_tilde with unit-diagonal P_tilde.
+    d_scale = jax.lax.rsqrt(jnp.diagonal(r_pp))           # (n_free,)
+    p_eq = r_pp * d_scale[:, None] * d_scale[None, :]
+    q_eq = q_lin * d_scale[:, None]
+    if x0 is None:
+        # Unconstrained minimum: P x = -q  (per dim).
+        x_init = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(
+                p_eq + config.sigma * jnp.eye(n_free, dtype=dtype),
+                lower=True), q_eq)
+    else:
+        x_init = jnp.asarray(x0, dtype) / d_scale[:, None]
+    return p_eq, q_eq, d_scale, x_init
+
+
+def _pallas_pre(structure: ProblemStructure, d_fixed, times, waypoints,
+                radii, config: ADMMConfig, x0,
+                layout: _PadLayout) -> _PallasPre:
+    """Per-scenario setup for the fused Pallas path: the equilibrated system
+    assembled directly in the kernel's padded component-plane layout (no
+    unpadded G, no big repacks)."""
+    dtype = jnp.result_type(d_fixed, times)
+    dim = structure.dimension
+    p_eq, q_eq, d_scale, x_init = _objective_blocks(
+        structure, d_fixed, times, config, x0, dtype)
+    gt, b_pad, rb, sb, sh = _padded_constraint_system(
+        structure, times, d_fixed, waypoints, radii, d_scale, layout,
+        config.rho_sphere_factor, config.rho_tube_factor,
+        config.rho_half_factor)
+    return _PallasPre(
+        gt=gt, b_pad=b_pad, rb=rb, sb=sb, sh=sh,
+        p_big=jnp.kron(p_eq, jnp.eye(dim, dtype=dtype)),
+        q_flat=q_eq.reshape(-1), x_flat0=x_init.reshape(-1),
+        d_scale=d_scale)
+
+
+def _pallas_post(structure: ProblemStructure, config: ADMMConfig,
+                 d_fixed, times, pre: _PallasPre,
+                 x_fin_flat, u_fin, y_fin, rho, prim_res, dual_res,
+                 dtype) -> QCQPSolution:
+    """Per-scenario outputs: violation from the scaled y, coefficients,
+    dual certificates (flat [ball-x|ball-y|ball-z|half] vector order)."""
+    n_free = structure.n_free
+    dim = structure.dimension
+    n_ball = pre.sb.shape[0]
+    # True-space violation from the scaled y: y_scaled = s * y_true.
+    yb_pl = y_fin[:3 * n_ball].reshape(3, n_ball)
+    nb_norm = jnp.linalg.norm(yb_pl, axis=0)
+    viol_ball = jnp.max((nb_norm - pre.rb) / pre.sb)
+    yh = y_fin[3 * n_ball:]
+    viol = jnp.maximum(viol_ball, jnp.max(yh / pre.sh)).astype(dtype)
+
+    ub = u_fin[:3 * n_ball].reshape(3, n_ball).T
+    uh = u_fin[3 * n_ball:]
+    converged = (prim_res < config.eps_primal) & (dual_res < config.eps_dual)
+    d_free = x_fin_flat.reshape(n_free, dim) * pre.d_scale[:, None]
+    sol = linear.solve_linear_with_free(structure, d_fixed, d_free, times)
+    # Dual convention: see solve_qcqp.
+    dual_ball = 2.0 * rho * pre.sb[:, None] * ub
+    dual_half = 2.0 * rho * pre.sh * uh
+    return QCQPSolution(
+        coefficients=sol.coefficients, times=times, d_fixed=d_fixed,
+        d_free=d_free, cost=sol.cost, converged=converged,
+        primal_residual=prim_res, dual_residual=dual_res,
+        max_violation=viol, dual_ball=dual_ball, dual_half=dual_half)
+
+
+def _flagship_layout(structure: ProblemStructure) -> _PadLayout:
+    k_seg = structure.n_segments
+    n_co = structure.n_coefficients
+    return _PadLayout.make((k_seg - 1) + k_seg * (n_co - 2),
+                           k_seg * (n_co - 2) * 2)
 
 
 def solve_qcqp(structure: ProblemStructure,
@@ -543,7 +638,9 @@ def solve_qcqp(structure: ProblemStructure,
                radii: jnp.ndarray,
                config: ADMMConfig = ADMMConfig(),
                x0: Optional[jnp.ndarray] = None) -> QCQPSolution:
-    """Solve one tube-constrained QCQP scenario (vmap over a batch for many).
+    """Solve one tube-constrained QCQP scenario (vmap over a batch for many;
+    prefer ``solve_qcqp_batch`` for large Pallas-path batches -- it blocks
+    scenarios per kernel instance to hide iteration latency).
 
     Args mirror the reference's Constrained::setupFromVertices + solveQCQP
     (qcqp_impl.h:121-186, 477-788); ``structure`` must be the free-interior
@@ -563,58 +660,27 @@ def solve_qcqp(structure: ProblemStructure,
     dim = structure.dimension
     nfd = n_free * dim
 
-    # Objective blocks: per-dim quadratic with the same R_pp
-    # (constructRkDim, qcqp_impl.h:189-221, is block-diagonal over dims).
-    r = linear.assemble_r(structure, times)
-    r_pf = r[nf:, :nf]
-    r_pp = r[nf:, nf:]
-    q_lin = jnp.einsum('pf,fd->pd', r_pf, d_fixed)        # 0.5 grad at x=0
+    if config.use_pallas:
+        layout = _flagship_layout(structure)
+        pre = _pallas_pre(structure, d_fixed, times, waypoints, radii,
+                          config, x0, layout)
+        (x_fin, _, u_fin, y_fin, rho, prim_res, dual_res) = (
+            jax.tree.map(lambda a: a[0], _run_stages_pallas(
+                config, pre.gt[None], pre.b_pad[None], pre.rb[None], layout,
+                pre.p_big[None], pre.q_flat[None], pre.x_flat0[None],
+                nfd, dtype)))
+        return _pallas_post(structure, config, d_fixed, times, pre,
+                            x_fin, u_fin, y_fin, rho, prim_res, dual_res,
+                            dtype)
 
-    # ---- Equilibration ---------------------------------------------------
-    # Cost scaling: x = d_scale * x_tilde with unit-diagonal P_tilde.
-    d_scale = jax.lax.rsqrt(jnp.diagonal(r_pp))           # (n_free,)
-    p_eq = r_pp * d_scale[:, None] * d_scale[None, :]
-    q_eq = q_lin * d_scale[:, None]
-
+    p_eq, q_eq, d_scale, x_init = _objective_blocks(
+        structure, d_fixed, times, config, x0, dtype)
     p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
     eye_kkt = jnp.eye(nfd, dtype=dtype)
     q_flat = q_eq.reshape(nfd)
-
-    # ---- Warm start ------------------------------------------------------
-    if x0 is None:
-        # Unconstrained minimum: P x = -q  (per dim).
-        x_init = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(
-                p_eq + config.sigma * jnp.eye(n_free, dtype=dtype),
-                lower=True), q_eq)
-    else:
-        x_init = jnp.asarray(x0, dtype) / d_scale[:, None]
     x_flat0 = x_init.reshape(nfd)
 
-    if config.use_pallas:
-        # Fused path: the equilibrated system is assembled directly in the
-        # kernel's padded component-plane layout (no unpadded G, no big
-        # repacks); the violation check reuses the final scaled y = Gx + b.
-        k_seg = structure.n_segments
-        n_co = structure.n_coefficients
-        n_ball = (k_seg - 1) + k_seg * (n_co - 2)
-        n_half = k_seg * (n_co - 2) * 2
-        layout = _PadLayout.make(n_ball, n_half)
-        gt, b_pad, rb_pad, sb, sh = _padded_constraint_system(
-            structure, times, d_fixed, waypoints, radii, d_scale, layout,
-            config.rho_sphere_factor, config.rho_tube_factor,
-            config.rho_half_factor)
-        (x_fin_flat, z_fin, u_fin, y_fin, rho, prim_res,
-         dual_res) = _run_stages_pallas(
-            config, gt, b_pad, rb_pad, layout,
-            p_big, eye_kkt, q_flat, x_flat0, nfd, dtype)
-        # True-space violation from the scaled y: y_scaled = s * y_true.
-        yb_pl = y_fin[:3 * n_ball].reshape(3, n_ball)
-        nb_norm = jnp.linalg.norm(yb_pl, axis=0)
-        viol_ball = jnp.max((nb_norm - rb_pad[0, :n_ball]) / sb)
-        yh = y_fin[3 * n_ball:]
-        viol = jnp.maximum(viol_ball, jnp.max(yh / sh)).astype(dtype)
-    else:
+    if True:   # XLA scan path (f64-capable, reference-layout tensors)
         cons = build_constraints(structure, times, d_fixed, waypoints, radii)
         gb = cons.g_ball * d_scale[None, None, :, None]
         gh = cons.g_half * d_scale[None, :, None]
@@ -682,12 +748,11 @@ def solve_qcqp(structure: ProblemStructure,
 
     # Outputs: coefficients + true-space violation check.
     sol = linear.solve_linear_with_free(structure, d_fixed, d_free, times)
-    if not config.use_pallas:
-        yb_true = (jnp.einsum('bipd,pd->bi', cons.g_ball, d_free)
-                   + cons.b_ball)
-        viol_ball = jnp.max(jnp.linalg.norm(yb_true, axis=-1) - cons.r_ball)
-        yh_true = jnp.einsum('hpd,pd->h', cons.g_half, d_free) + cons.b_half
-        viol = jnp.maximum(viol_ball, jnp.max(yh_true))
+    yb_true = (jnp.einsum('bipd,pd->bi', cons.g_ball, d_free)
+               + cons.b_ball)
+    viol_ball = jnp.max(jnp.linalg.norm(yb_true, axis=-1) - cons.r_ball)
+    yh_true = jnp.einsum('hpd,pd->h', cons.g_half, d_free) + cons.b_half
+    viol = jnp.maximum(viol_ball, jnp.max(yh_true))
 
     # Original-space dual certificates: for the scaled system
     # grad f_eq + Geq^T (rho u) = 0; unscaling gives multipliers S * rho * u.
@@ -703,6 +768,72 @@ def solve_qcqp(structure: ProblemStructure,
         d_free=d_free, cost=sol.cost, converged=converged,
         primal_residual=prim_res, dual_residual=dual_res,
         max_violation=viol, dual_ball=dual_ball, dual_half=dual_half)
+
+
+def solve_qcqp_batch(structure: ProblemStructure,
+                     d_fixed: jnp.ndarray,
+                     times: jnp.ndarray,
+                     waypoints: jnp.ndarray,
+                     radii: jnp.ndarray,
+                     config: ADMMConfig = ADMMConfig(),
+                     x0: Optional[jnp.ndarray] = None,
+                     scenario_block: int = 4) -> QCQPSolution:
+    """Batched Pallas-path QCQP with scenario blocking (all args carry a
+    leading batch axis B).
+
+    Groups B scenarios into blocks of ``scenario_block`` and runs each block
+    inside ONE Pallas kernel instance: the ADMM iteration is a sequential
+    chain of small reduces -- latency-bound -- so interleaving S independent
+    chains hides the latency (S=4 measured ~1.8x faster than S=1 on v5e;
+    S is capped by the ~16 MB scoped kernel VMEM).  B is padded to a
+    multiple of S by repeating the last scenario, then sliced back.
+    """
+    if not config.use_pallas:
+        return jax.vmap(lambda df, t, w, r, xx: solve_qcqp(
+            structure, df, t, w, r, config, xx))(
+            d_fixed, times, waypoints, radii, x0)
+    s = scenario_block
+    b = d_fixed.shape[0]
+    b_pad = ((b + s - 1) // s) * s
+    nfd = structure.n_free * structure.dimension
+    dtype = jnp.result_type(d_fixed, times)
+    layout = _flagship_layout(structure)
+
+    def pad(a):
+        if a is None or b_pad == b:
+            return a
+        reps = jnp.repeat(a[-1:], b_pad - b, axis=0)
+        return jnp.concatenate([a, reps], axis=0)
+
+    def group(a):
+        return None if a is None else a.reshape((b_pad // s, s) + a.shape[1:])
+
+    d_fixed_g, times_g, waypoints_g, radii_g, x0_g = (
+        group(pad(jnp.asarray(a, dtype) if a is not None else None))
+        for a in (d_fixed, times, waypoints, radii, x0))
+
+    def block(df, t, w, r, xx=None):
+        if xx is None:
+            pre = jax.vmap(lambda a1, a2, a3, a4: _pallas_pre(
+                structure, a1, a2, a3, a4, config, None, layout))(df, t, w, r)
+        else:
+            pre = jax.vmap(lambda a1, a2, a3, a4, a5: _pallas_pre(
+                structure, a1, a2, a3, a4, config, a5, layout))(
+                df, t, w, r, xx)
+        outs = _run_stages_pallas(
+            config, pre.gt, pre.b_pad, pre.rb, layout, pre.p_big,
+            pre.q_flat, pre.x_flat0, nfd, dtype)
+        return jax.vmap(lambda dfi, ti, prei, x, u, y, rho, pr, du:
+                        _pallas_post(structure, config, dfi, ti, prei,
+                                     x, u, y, rho, pr, du, dtype))(
+            df, t, pre, outs[0], outs[2], outs[3], outs[4], outs[5], outs[6])
+
+    if x0_g is None:
+        sol = jax.vmap(block)(d_fixed_g, times_g, waypoints_g, radii_g)
+    else:
+        sol = jax.vmap(block)(d_fixed_g, times_g, waypoints_g, radii_g, x0_g)
+    flat = jax.tree.map(lambda a: a.reshape((b_pad,) + a.shape[2:])[:b], sol)
+    return flat
 
 
 def position_constrained_warmstart(free_structure: ProblemStructure,
