@@ -314,6 +314,35 @@ def test_admm_pallas_interpret_matches_xla():
                                rtol=1e-2, atol=1e-3)
 
 
+def test_solve_qcqp_batch_matches_per_scenario():
+    """solve_qcqp_batch (S-blocked kernel, ragged padding) must reproduce
+    the per-scenario vmap path bit-for-bit (same kernel math, interleaved)."""
+    import mav_tube_trajectory_generation_tpu.ops.admm_kernel as ak
+    structure, d_fixed, times, waypoints, values = make_problem(k=4, seed=3)
+    b = 6
+    d32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+    rng = np.random.RandomState(0)
+    dff = jnp.stack([d32(d_fixed) * (1 + 0.01 * i) for i in range(b)])
+    t_b = jnp.stack([d32(times)] * b)
+    wp_b = jnp.stack([d32(waypoints)] * b)
+    r_b = jnp.full((b, structure.n_segments, 2), 0.6, jnp.float32)
+    cfg = qcqp.ADMMConfig(n_stages=2, n_iters=30, use_pallas=True)
+    orig = ak.admm_stage
+    ak.admm_stage = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        s1 = jax.vmap(lambda a, c, d, e: qcqp.solve_qcqp(
+            structure, a, c, d, e, config=cfg))(dff, t_b, wp_b, r_b)
+        s4 = qcqp.solve_qcqp_batch(structure, dff, t_b, wp_b, r_b,
+                                   config=cfg, scenario_block=4)  # pads 6->8
+    finally:
+        ak.admm_stage = orig
+    np.testing.assert_array_equal(np.asarray(s4.d_free),
+                                  np.asarray(s1.d_free))
+    np.testing.assert_array_equal(np.asarray(s4.max_violation),
+                                  np.asarray(s1.max_violation))
+    assert s4.cost.shape == (b,)
+
+
 def test_warmstarted_admm_near_optimal():
     """The production config (rho=0.005, 1 stage x 48 iters, tube/half
     penalty factors 0.125, warm start) must stay feasible and land near a
