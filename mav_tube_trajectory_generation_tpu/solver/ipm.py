@@ -263,7 +263,10 @@ def solve_qcqp_polished(structure: ProblemStructure,
     """
     from . import qcqp as qcqp_mod
     if admm_config is None:
-        admm_config = qcqp_mod.ADMMConfig(rho=0.01, n_stages=1, n_iters=80)
+        # The tuned production throughput config (bench.py).
+        admm_config = qcqp_mod.ADMMConfig(rho=0.005, n_stages=1, n_iters=48,
+                                          rho_tube_factor=0.125,
+                                          rho_half_factor=0.125)
     if ipm_config is None:
         ipm_config = IPMConfig(n_iters=12)
     admm_sol = qcqp_mod.solve_qcqp(structure, d_fixed, times, waypoints,
