@@ -147,6 +147,19 @@ def convolve_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def pad_coefficients(coeffs: jnp.ndarray, new_n: int) -> jnp.ndarray:
+    """Zero-pad increasing-power coefficients to a higher order: the same
+    polynomial expressed with ``new_n`` coefficients
+    (Polynomial::getPolynomialWithAppendedCoefficients,
+    polynomial.cpp:183-198).  No-op if already >= new_n (reference warns and
+    returns the original)."""
+    n = coeffs.shape[-1]
+    if new_n <= n:
+        return coeffs
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, new_n - n)]
+    return jnp.pad(coeffs, pad)
+
+
 def powers(t: jnp.ndarray, n: int) -> jnp.ndarray:
     """[1, t, t^2, ..., t^(n-1)] stacked on a trailing axis."""
     t = jnp.asarray(t)

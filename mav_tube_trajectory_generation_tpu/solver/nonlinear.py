@@ -123,7 +123,11 @@ class NonlinearResult(NamedTuple):
     """OptimizationInfo analogue (nonlinear.h:212-231) + the solution.
 
     ``maxima`` maps constraint derivative order -> final max magnitude
-    (OptimizationInfo::maxima, nonlinear.h:230)."""
+    (OptimizationInfo::maxima, nonlinear.h:230).  ``cost_history`` is the
+    per-outer-iteration objective value (the reference retains every NLOPT
+    iterate in ``all_trajectories_``, nonlinear.h:316-328; the cost trace is
+    the batch-friendly equivalent -- recover any iterate's trajectory by
+    re-solving at its times)."""
     coefficients: jnp.ndarray
     times: jnp.ndarray
     d_fixed: jnp.ndarray
@@ -132,6 +136,7 @@ class NonlinearResult(NamedTuple):
     initial_cost: CostBreakdown
     n_iterations: int
     maxima: dict
+    cost_history: Optional[jnp.ndarray] = None
 
 
 def format_result(res: "NonlinearResult") -> str:
@@ -423,7 +428,7 @@ def optimize(structure: ProblemStructure,
                              jnp.asarray(jnp.inf, cost.dtype))
 
         theta0 = jnp.zeros_like(times_init)
-        theta, _, _ = nelder_mead(fn, theta0, params.max_iterations,
+        theta, _, history = nelder_mead(fn, theta0, params.max_iterations,
                                   params.nelder_mead_scale)
         times_fin = clip_times(theta)
         sol = inner_solve(times_fin)
@@ -457,19 +462,22 @@ def optimize(structure: ProblemStructure,
                                       - 0.5 * lam * lam / mu)
 
             d_free_fin = d_free_init
+            histories = []
             lam = jnp.zeros((n_c,), dtype)
             mu = jnp.asarray(params.al_penalty, dtype)
             for _ in range(params.al_rounds):
-                d_free_fin, _ = _lbfgs_minimize(
+                d_free_fin, vals = _lbfgs_minimize(
                     lambda d: al_cost(d, lam, mu), d_free_fin, inner_iters)
+                histories.append(vals)
                 lam = jnp.maximum(lam + mu * g_of(d_free_fin), 0.0)
                 mu = mu * params.al_penalty_growth
+            history = jnp.concatenate(histories)
         else:
             def fn(d_free):
                 return total_cost(structure, d_fixed, d_free, times_init,
                                   params, constraints, field).total
-            d_free_fin, _ = _lbfgs_minimize(fn, d_free_init,
-                                            params.max_iterations)
+            d_free_fin, history = _lbfgs_minimize(fn, d_free_init,
+                                                  params.max_iterations)
         times_fin = times_init
     else:  # joint (d_free, theta) objectives
         # Bound the log-time scaling to the reference's spirit of
@@ -487,7 +495,7 @@ def optimize(structure: ProblemStructure,
             times = scale_times(theta)
             return total_cost(structure, d_fixed, d_free, times, params,
                               constraints, field).total
-        (d_free_fin, theta_fin), _ = _lbfgs_minimize(
+        (d_free_fin, theta_fin), history = _lbfgs_minimize(
             fn, (d_free_init, jnp.zeros_like(times_init)),
             params.max_iterations)
         times_fin = scale_times(theta_fin)
@@ -502,7 +510,8 @@ def optimize(structure: ProblemStructure,
     return NonlinearResult(
         coefficients=sol.coefficients, times=times_fin, d_fixed=d_fixed,
         d_free=d_free_fin, cost=breakdown, initial_cost=breakdown0,
-        n_iterations=params.max_iterations, maxima=maxima)
+        n_iterations=params.max_iterations, maxima=maxima,
+        cost_history=history)
 
 
 def optimize_time_gradient(structure: ProblemStructure,

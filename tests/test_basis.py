@@ -81,3 +81,18 @@ def test_base_coeffs_with_time_is_a_row():
 def test_powers():
     out = np.asarray(basis.powers(jnp.asarray([2.0, 3.0]), 4))
     np.testing.assert_allclose(out, [[1, 2, 4, 8], [1, 3, 9, 27]])
+
+
+def test_pad_coefficients_preserves_polynomial():
+    """getPolynomialWithAppendedCoefficients parity (polynomial.cpp:183-198):
+    zero-padding must not change evaluations; padding down is a no-op."""
+    import jax.numpy as jnp
+    c = jnp.asarray([1.0, -2.0, 0.5])
+    padded = basis.pad_coefficients(c, 7)
+    assert padded.shape == (7,)
+    ts = jnp.linspace(-1.0, 2.0, 11)
+    np.testing.assert_allclose(
+        np.asarray(basis.polyval(padded[None], ts, 0))[0],
+        np.asarray(basis.polyval(c[None], ts, 0))[0], rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(basis.pad_coefficients(c, 2)),
+                                  np.asarray(c))
