@@ -143,10 +143,11 @@ def main():
         from mav_tube_trajectory_generation_tpu.models import trajectory as tj
 
         def solve_and_check(df, t):
-            sol = linear.solve_linear(std, df, t)
-            traj = tj.Trajectory(sol.coefficients, sol.times)
-            vmax = tj.max_magnitude(traj, 1, n_grid=64).value
-            amax = tj.max_magnitude(traj, 2, n_grid=64).value
+            with jax.default_matmul_precision('highest'):
+                sol = linear.solve_linear(std, df, t)
+                traj = tj.Trajectory(sol.coefficients, sol.times)
+                vmax = tj.max_magnitude(traj, 1, n_grid=64).value
+                amax = tj.max_magnitude(traj, 2, n_grid=64).value
             # Reference slack: 2.5x the heuristic's v/a bounds
             # (TimeAllocation test, test_polynomial_optimization.cpp:572-613).
             return vmax, amax, (vmax <= 3.0 * 2.5) & (amax <= 5.0 * 2.5)

@@ -104,6 +104,50 @@ def solve_linear_sharded(structure: ProblemStructure,
     return fn(d_fixed, times)
 
 
+def solve_qcqp_sharded(structure: ProblemStructure,
+                       mesh: Mesh,
+                       d_fixed: jnp.ndarray,
+                       times: jnp.ndarray,
+                       waypoints: jnp.ndarray,
+                       radii: jnp.ndarray,
+                       config=None,
+                       x0: Optional[jnp.ndarray] = None,
+                       scenario_block: int = 4):
+    """Tube-QCQP batch sharded over the scenario axis (B divisible by mesh
+    size; use ``pad_batch``).  Each shard runs the blocked Pallas (or XLA)
+    path locally via ``qcqp.solve_qcqp_batch`` -- no cross-scenario
+    communication; a psum'd feasibility count rides the ICI.
+
+    Returns (QCQPSolution sharded over the data axis, n_feasible replicated).
+    """
+    from ..solver import qcqp as qcqp_mod
+    if config is None:
+        config = qcqp_mod.ADMMConfig()
+
+    def shard(df, t, w, r, xx):
+        sol = qcqp_mod.solve_qcqp_batch(structure, df, t, w, r,
+                                        config=config, x0=xx,
+                                        scenario_block=scenario_block)
+        n_ok = jax.lax.psum(
+            jnp.sum((sol.max_violation < 1e-2).astype(jnp.float32)),
+            DATA_AXIS)
+        return sol, n_ok
+
+    fn = jax.shard_map(
+        shard, mesh=mesh,
+        in_specs=(P(DATA_AXIS),) * 5,
+        out_specs=(P(DATA_AXIS), P()))
+    if x0 is None:
+        # shard_map needs concrete operands; synthesize the warm start
+        # outside (None is not shardable) -- callers wanting the internal
+        # cold start should pass x0 explicitly from
+        # qcqp.position_constrained_warmstart or zeros.
+        x0 = jnp.zeros(d_fixed.shape[:1]
+                       + (structure.n_free, structure.dimension),
+                       d_fixed.dtype)
+    return fn(d_fixed, times, waypoints, radii, x0)
+
+
 def shard_scenarios(fn: Callable[..., Any], mesh: Mesh, n_args: int):
     """Wrap an arbitrary per-scenario function for scenario-parallel execution.
 

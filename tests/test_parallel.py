@@ -94,3 +94,32 @@ def test_graft_entry_dryrun():
     jax.block_until_ready(out)
     assert out[0].shape == (16,)
     ge.dryrun_multichip(8)
+
+
+def test_solve_qcqp_sharded_matches_unsharded():
+    """solve_qcqp_sharded (XLA path on the virtual mesh) must match the
+    per-scenario vmap solve and psum the feasibility count."""
+    from mav_tube_trajectory_generation_tpu.solver import linear, qcqp
+
+    k, b = 4, 8
+    rng = np.random.RandomState(2)
+    wp = np.cumsum(rng.uniform(0.5, 1.5, size=(b, k + 1, 3)), axis=1)
+    free = sm.make_structure(sm.free_interior_mask(k + 1, 10), 3, 10)
+    vals = np.zeros((b, k + 1, 5, 3))
+    vals[:, :, 0] = wp
+    dff = jnp.stack([linear.extract_fixed_values(free, jnp.asarray(v))
+                     for v in vals])
+    times = jnp.asarray(rng.uniform(0.8, 1.5, size=(b, k)))
+    radii = jnp.full((b, k, 2), 0.6)
+    cfg = qcqp.ADMMConfig(rho=0.01, n_stages=2, n_iters=25, use_pallas=False)
+
+    mesh = pmesh.make_mesh()
+    sol, n_ok = pmesh.solve_qcqp_sharded(
+        free, mesh, dff, times, jnp.asarray(wp), radii, config=cfg)
+    ref = jax.vmap(lambda a, t, w, r: qcqp.solve_qcqp(
+        free, a, t, w, r, config=cfg,
+        x0=jnp.zeros((free.n_free, 3))))(dff, times, jnp.asarray(wp), radii)
+    np.testing.assert_allclose(np.asarray(sol.d_free), np.asarray(ref.d_free),
+                               rtol=1e-9, atol=1e-12)
+    assert float(n_ok) == float(
+        jnp.sum((ref.max_violation < 1e-2).astype(jnp.float32)))
