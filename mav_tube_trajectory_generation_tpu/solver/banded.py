@@ -33,6 +33,7 @@ import numpy as np
 
 from ..ops import linalg, qmatrix
 from .linear import (LinearSolution, cost_from_derivatives,
+                     full_matmul_precision,
                      segment_derivatives)
 from .structure import ProblemStructure
 
@@ -133,6 +134,7 @@ def block_tridiag_solve(d_blocks: jnp.ndarray,
     return x[:m]
 
 
+@full_matmul_precision
 def solve_linear_banded(structure: ProblemStructure,
                         d_fixed: jnp.ndarray,
                         times: jnp.ndarray) -> LinearSolution:

@@ -64,6 +64,7 @@ class IPMConfig:
     hess_inverse: str = "schur"
 
 
+@linear.full_matmul_precision
 def solve_qcqp_ipm(structure: ProblemStructure,
                    d_fixed: jnp.ndarray,
                    times: jnp.ndarray,

@@ -38,6 +38,23 @@ from ..ops import linalg, qmatrix
 from .structure import ProblemStructure
 
 
+def full_matmul_precision(fn):
+    """Trace the wrapped solver with float32 matmuls regardless of the
+    caller's precision context.
+
+    TPU matmuls default to bfloat16 passes; the solvers' assembly einsums
+    span ~T^(1-2d) dynamic range (17 decades for snap at N=10), and at
+    bfloat16 a short-segment-time solve NaNs outright (observed on v5e with
+    velocity-ramp times).  Correct-by-default matters more than the ~2x
+    matmul-pass cost; callers wanting the fast path must opt in per-op.
+    """
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision('highest'):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 class LinearSolution(NamedTuple):
     """Result of one (or a batch of) linear solves.
 
@@ -87,6 +104,7 @@ def cost_from_derivatives(structure: ProblemStructure,
     return 0.5 * jnp.einsum('...krd,...krc,...kcd->...', d_seg, h_blocks, d_seg)
 
 
+@full_matmul_precision
 def solve_linear(structure: ProblemStructure,
                  d_fixed: jnp.ndarray,
                  times: jnp.ndarray,
@@ -149,6 +167,7 @@ def solve_linear(structure: ProblemStructure,
     return LinearSolution(coeffs, times, d_fixed, d_free, cost)
 
 
+@full_matmul_precision
 def solve_linear_with_free(structure: ProblemStructure,
                            d_fixed: jnp.ndarray,
                            d_free: jnp.ndarray,

@@ -631,6 +631,7 @@ def _flagship_layout(structure: ProblemStructure) -> _PadLayout:
                            k_seg * (n_co - 2) * 2)
 
 
+@linear.full_matmul_precision
 def solve_qcqp(structure: ProblemStructure,
                d_fixed: jnp.ndarray,
                times: jnp.ndarray,
@@ -770,6 +771,7 @@ def solve_qcqp(structure: ProblemStructure,
         max_violation=viol, dual_ball=dual_ball, dual_half=dual_half)
 
 
+@linear.full_matmul_precision
 def solve_qcqp_batch(structure: ProblemStructure,
                      d_fixed: jnp.ndarray,
                      times: jnp.ndarray,
