@@ -34,7 +34,7 @@ from .solver.linear import (LinearSolution, solve_linear,
                             compact_from_segment_derivatives,
                             solve_from_positions)
 from .solver.qcqp import (ADMMConfig, QCQPSolution, solve_qcqp,
-                          position_constrained_warmstart)
+                          solve_qcqp_batch, position_constrained_warmstart)
 from .solver.banded import solve_linear_banded, block_tridiag_solve
 from .solver.ipm import IPMConfig, solve_qcqp_ipm, solve_qcqp_polished
 from .solver.nonlinear import (Objective, CostWeights, MagnitudeConstraint,
@@ -50,6 +50,7 @@ from .models.vertex import (Vertex, vertices_to_arrays, structure_from_vertices,
                             estimate_segment_times_velocity_ramp,
                             segment_times_nfabian, segment_times_velocity_ramp)
 from .models.trajectory import (Trajectory, Extremum, evaluate, evaluate_range,
-                                sample_times, min_max_magnitude, max_magnitude)
+                                sample_times, min_max_magnitude, max_magnitude,
+                                append_dimension, get_vertex_at_time)
 
 __version__ = "0.1.0"
