@@ -44,21 +44,24 @@ def main():
 
     std = sm.make_structure(sm.standard_mask(k + 1, 10), 3, 10)
 
+    # One jitted prep program: eager per-op dispatch over the remote-TPU
+    # tunnel costs seconds per chunk; jitted it is two dispatches total.
+    # Velocity-ramp times: the conservative heuristic -- on this dense
+    # waypoint distribution Nfabian times exceed the reference's 2.5x
+    # acceleration slack (TimeAllocation semantics hold per-heuristic
+    # on its own fixtures; see tests/test_linear.py).
+    @jax.jit
+    def prep(waypoints, values):
+        return (linear.extract_fixed_values(std, values),
+                segment_times_velocity_ramp(waypoints, 3.0, 5.0))
+
     def make_chunk(seed):
         rng = np.random.RandomState(seed)
         waypoints = np.cumsum(rng.uniform(0.5, 2.0, size=(chunk, k + 1, 3)),
                               axis=1).astype(np.float32)
         values = np.zeros((chunk, k + 1, 5, 3), dtype=np.float32)
         values[:, :, 0, :] = waypoints
-        # Velocity-ramp times: the conservative heuristic -- on this dense
-        # waypoint distribution Nfabian times exceed the reference's 2.5x
-        # acceleration slack (TimeAllocation semantics hold per-heuristic
-        # on its own fixtures; see tests/test_linear.py).
-        times = np.asarray(segment_times_velocity_ramp(waypoints, 3.0, 5.0),
-                           dtype=np.float32)
-        d_fixed = np.asarray(
-            linear.extract_fixed_values(std, jnp.asarray(values)))
-        return jnp.asarray(d_fixed), jnp.asarray(times)
+        return prep(jnp.asarray(waypoints), jnp.asarray(values))
 
     def solve_and_check(df, t):
         # Full matmul precision: the assembly einsums at TPU-default bf16
@@ -74,6 +77,26 @@ def main():
         return sol.cost, vmax, amax, v_ok & a_ok, v_ok, a_ok
 
     f = jax.jit(jax.vmap(solve_and_check))
+
+    @jax.jit
+    def update_state(state, cost, vmax, ok, v_ok, a_ok, valid):
+        # One jitted program: eager per-op updates cost a tunnel round trip
+        # EACH (~150 ms) on remote-TPU setups.
+        return {
+            "next_chunk": state["next_chunk"] + 1,
+            "n_done": state["n_done"] + jnp.sum(valid.astype(jnp.int32)),
+            "n_feasible": state["n_feasible"]
+            + jnp.sum((ok & valid).astype(jnp.int32)),
+            "sum_cost": state["sum_cost"]
+            + jnp.sum(jnp.where(valid, cost, 0.0)),
+            "n_v_ok": state["n_v_ok"]
+            + jnp.sum((v_ok & valid).astype(jnp.int32)),
+            "n_a_ok": state["n_a_ok"]
+            + jnp.sum((a_ok & valid).astype(jnp.int32)),
+            "max_vmax": jnp.maximum(
+                state["max_vmax"],
+                jnp.max(jnp.where(valid, vmax, 0.0))),
+        }
 
     state = {"next_chunk": jnp.asarray(0),
              "n_done": jnp.asarray(0),
@@ -94,22 +117,11 @@ def main():
     for ci in range(start_chunk, n_chunks):
         df, t = make_chunk(seed=1000 + ci)
         cost, vmax, amax, ok, v_ok, a_ok = f(df, t)
-        jax.block_until_ready(ok)
         n_valid = min(chunk, total - ci * chunk)
-        state = {
-            "next_chunk": jnp.asarray(ci + 1),
-            "n_done": state["n_done"] + n_valid,
-            "n_feasible": state["n_feasible"]
-            + jnp.sum(ok[:n_valid].astype(jnp.int32)),
-            "sum_cost": state["sum_cost"] + jnp.sum(cost[:n_valid]),
-            "n_v_ok": state["n_v_ok"]
-            + jnp.sum(v_ok[:n_valid].astype(jnp.int32)),
-            "n_a_ok": state["n_a_ok"]
-            + jnp.sum(a_ok[:n_valid].astype(jnp.int32)),
-            "max_vmax": jnp.maximum(state["max_vmax"],
-                                    jnp.max(vmax[:n_valid])),
-        }
-        checkpointing.save_pytree(ckpt_path, state)
+        valid = jnp.arange(chunk) < n_valid
+        state = update_state(state, cost, vmax, ok, v_ok, a_ok, valid)
+        # One bulk transfer; save from host arrays.
+        checkpointing.save_pytree(ckpt_path, jax.device_get(state))
     dt = time.perf_counter() - t0
 
     done = int(state["n_done"])
