@@ -51,6 +51,7 @@ from .models.vertex import (Vertex, vertices_to_arrays, structure_from_vertices,
                             segment_times_nfabian, segment_times_velocity_ramp)
 from .models.trajectory import (Trajectory, Extremum, evaluate, evaluate_range,
                                 sample_times, min_max_magnitude, max_magnitude,
-                                append_dimension, get_vertex_at_time)
+                                append_dimension, get_vertex_at_time,
+                                scale_trajectory_time, scale_times_to_limits)
 
 __version__ = "0.1.0"

@@ -173,6 +173,36 @@ def append(a: Trajectory, b: Trajectory) -> Trajectory:
         times=jnp.concatenate([a.times, b.times], axis=-1))
 
 
+def scale_trajectory_time(traj: Trajectory, factor) -> Trajectory:
+    """Uniformly stretch the trajectory in time by ``factor`` (> 1 slows).
+
+    Exact closed form: with s = 1/factor, coefficient i rescales by s^i so
+    that x'(t) = x(s t); derivative d scales by s^d.  (The upstream
+    project's scaleSegmentTimes intent -- this fork's inherited tests call
+    it but the fork never implemented it; see SURVEY.md section 4.)"""
+    factor = jnp.asarray(factor, traj.coefficients.dtype)
+    n = traj.n_coefficients
+    i = jnp.arange(n, dtype=traj.coefficients.dtype)
+    scale = (1.0 / factor) ** i                            # (N,)
+    return Trajectory(
+        coefficients=traj.coefficients * scale[..., None, :, None],
+        times=traj.times * factor)
+
+
+def scale_times_to_limits(traj: Trajectory, v_max: float, a_max: float,
+                          n_grid: int = roots.DEFAULT_GRID) -> Trajectory:
+    """Smallest uniform time stretch making the trajectory satisfy v/a
+    limits (scaleSegmentTimesWithViolation intent,
+    test_polynomial_optimization.cpp:661): velocity scales by 1/factor and
+    acceleration by 1/factor^2, so factor = max(1, vmax/v_max,
+    sqrt(amax/a_max)) repairs both in closed form -- no iteration."""
+    vmax = min_max_magnitude(traj, 1, n_grid)[1].value
+    amax = min_max_magnitude(traj, 2, n_grid)[1].value
+    factor = jnp.maximum(1.0, jnp.maximum(
+        vmax / v_max, jnp.sqrt(jnp.maximum(amax / a_max, 0.0))))
+    return scale_trajectory_time(traj, factor)
+
+
 def append_dimension(a: Trajectory, b: Trajectory) -> Trajectory:
     """Stack two trajectories' spatial dimensions (same K and times):
     Trajectory::getTrajectoryWithAppendedDimension analogue

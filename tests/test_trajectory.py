@@ -95,3 +95,32 @@ def test_append_dimension_and_vertex_at_time():
 def test_sample_times():
     ts = traj_mod.sample_times(np.array([1.0, 2.0]), 0.5)
     np.testing.assert_allclose(ts, [0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0])
+
+
+def test_scale_trajectory_time_exact():
+    """x_scaled(factor * t) == x(t) exactly; derivatives scale by 1/f^d."""
+    _, _, _, times, sol = build_solution(k=3, seed=9)
+    traj = mtg.Trajectory(sol.coefficients, sol.times)
+    f = 1.7
+    scaled = traj_mod.scale_trajectory_time(traj, f)
+    ts = np.linspace(0.0, float(np.sum(times)) - 1e-9, 23)
+    for d in (0, 1, 2):
+        orig = np.asarray(mtg.evaluate(traj, jnp.asarray(ts), d))
+        got = np.asarray(mtg.evaluate(scaled, jnp.asarray(f * ts), d))
+        np.testing.assert_allclose(got, orig / f**d, rtol=1e-9, atol=1e-10)
+
+
+def test_scale_times_to_limits_repairs_violation():
+    """After scaling, v/a limits hold (scaleSegmentTimesWithViolation
+    intent, test_polynomial_optimization.cpp:661)."""
+    _, _, _, _, sol = build_solution(k=4, seed=11)
+    traj = mtg.Trajectory(sol.coefficients, sol.times)
+    vmax0 = float(mtg.max_magnitude(traj, 1).value)
+    amax0 = float(mtg.max_magnitude(traj, 2).value)
+    v_lim, a_lim = 0.5 * vmax0, 0.5 * amax0   # force a violation
+    fixed = traj_mod.scale_times_to_limits(traj, v_lim, a_lim)
+    assert float(mtg.max_magnitude(fixed, 1).value) <= v_lim * (1 + 1e-6)
+    assert float(mtg.max_magnitude(fixed, 2).value) <= a_lim * (1 + 1e-6)
+    # A trajectory already within limits is untouched.
+    same = traj_mod.scale_times_to_limits(traj, vmax0 * 2, amax0 * 2)
+    np.testing.assert_allclose(np.asarray(same.times), np.asarray(traj.times))
