@@ -46,7 +46,8 @@ def make_inputs(k, batch, seed=0):
         dtype=np.float32)
     radii = np.full((batch, k, 2), 0.8, dtype=np.float32)
     return (std, free, jnp.asarray(d_fixed_std), jnp.asarray(d_fixed_free),
-            jnp.asarray(times), jnp.asarray(waypoints), jnp.asarray(radii))
+            jnp.asarray(times), jnp.asarray(waypoints), jnp.asarray(radii),
+            jnp.asarray(values))
 
 
 def time_fn(fn, args, n_iters=10):
@@ -71,7 +72,8 @@ def main():
     for a in sys.argv:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
-    std, free, df_std, df_free, times, waypoints, radii = make_inputs(k, batch)
+    (std, free, df_std, df_free, times, waypoints, radii,
+     values) = make_inputs(k, batch)
 
     # Tuned for warm-started scenarios (sweeps on the bench distribution):
     # rho=0.005 with tube/end-cap penalty factors 0.125 concentrates the
@@ -82,38 +84,22 @@ def main():
                            rho_tube_factor=0.125, rho_half_factor=0.125,
                            use_pallas=True)
 
-    std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}
-    std_col.update({tuple(c): std.n_fixed + i
-                    for i, c in enumerate(std.free_cols)})
-    warm_idx = np.asarray([std_col[tuple(c)] for c in free.free_cols],
-                          dtype=np.int32)
-
-    def full_solve(df_std_b, df_free_b, times_b, waypoints_b, radii_b):
-        """QP (standard mask) + tube QCQP warm-started from it: one scenario
-        pass of BASELINE config 4.  float32 with full-precision matmuls
-        (bf16 passes lose ADMM feasibility).  The QCQP runs through
-        solve_qcqp_batch: 4 scenarios per Pallas kernel instance to hide
-        the latency-bound iteration chain."""
-        with jax.default_matmul_precision('highest'):
-            def warm(df_s, t):
-                # schur: matmul-only R_pp inverse -- no Cholesky custom call
-                # (equilibrated std-family R_pp has cond ~5e2; safe in f32).
-                lin = linear.solve_linear(std, df_s, t, method="schur")
-                # Warm start: endpoint derivatives of the position-
-                # constrained solution in the free-interior layout.
-                d_all = jnp.concatenate([lin.d_fixed, lin.d_free], axis=-2)
-                return lin.cost, jnp.take(d_all, jnp.asarray(warm_idx),
-                                          axis=-2)
-            lin_cost, x0 = jax.vmap(warm)(df_std_b, times_b)
-            con = qcqp.solve_qcqp_batch(free, df_free_b, times_b, waypoints_b,
-                                        radii_b, config=admm, x0=x0,
-                                        scenario_block=4)
-        return lin_cost, con.cost, con.max_violation, con.converged
+    def full_solve(df_free_b, times_b, waypoints_b, radii_b, values_b):
+        """QP (standard mask) warm start + tube QCQP: one scenario pass of
+        BASELINE config 4.  The warm start (schur linear solve) is FUSED
+        into the QCQP's per-scenario trace (warmstart_values) so XLA CSEs
+        the shared Hessian blocks; 4 scenarios per Pallas kernel instance
+        hide the latency-bound iteration chain."""
+        con = qcqp.solve_qcqp_batch(free, df_free_b, times_b, waypoints_b,
+                                    radii_b, config=admm,
+                                    warmstart_values=values_b,
+                                    scenario_block=4)
+        return con.cost, con.max_violation, con.converged
 
     solve = jax.jit(full_solve)
-    dt, out = time_fn(solve, (df_std, df_free, times, waypoints, radii),
+    dt, out = time_fn(solve, (df_free, times, waypoints, radii, values),
                       n_iters=5)
-    lin_cost, qcqp_cost, viol, conv = out
+    qcqp_cost, viol, conv = out
     n_ok = int(jnp.sum(jnp.isfinite(qcqp_cost)
                        & (viol < 1e-2)))
     solves_per_s = batch / dt
@@ -127,7 +113,7 @@ def main():
         # the O(K log K) block-tridiagonal cyclic-reduction path.
         from mav_tube_trajectory_generation_tpu.solver import banded
         for k_sweep in (2, 10, 50, 100):
-            stdk, _, dfk, _, tk, _, _ = make_inputs(k_sweep, 2048, seed=1)
+            stdk, _, dfk, _, tk, _, _, _ = make_inputs(k_sweep, 2048, seed=1)
             f = jax.jit(jax.vmap(lambda a, b: linear.solve_linear(stdk, a, b)))
             dt_k, _ = time_fn(f, (dfk, tk), n_iters=5)
             line = f"[bench] linear K={k_sweep}: {2048/dt_k:,.0f} solves/s"

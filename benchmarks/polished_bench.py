@@ -27,8 +27,8 @@ def main():
     for a in sys.argv:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
-    std, free, df_std, df_free, times, waypoints, radii = bench.make_inputs(
-        k, batch)
+    (std, free, df_std, df_free, times, waypoints, radii,
+     values) = bench.make_inputs(k, batch)
 
     std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}
     std_col.update({tuple(c): std.n_fixed + i

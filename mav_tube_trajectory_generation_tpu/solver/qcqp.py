@@ -779,6 +779,7 @@ def solve_qcqp_batch(structure: ProblemStructure,
                      radii: jnp.ndarray,
                      config: ADMMConfig = ADMMConfig(),
                      x0: Optional[jnp.ndarray] = None,
+                     warmstart_values: Optional[jnp.ndarray] = None,
                      scenario_block: int = 4) -> QCQPSolution:
     """Batched Pallas-path QCQP with scenario blocking (all args carry a
     leading batch axis B).
@@ -789,7 +790,15 @@ def solve_qcqp_batch(structure: ProblemStructure,
     chains hides the latency (S=4 measured ~1.8x faster than S=1 on v5e;
     S is capped by the ~16 MB scoped kernel VMEM).  B is padded to a
     multiple of S by repeating the last scenario, then sliced back.
+
+    ``warmstart_values`` (B, V, n_d, D) vertex values: compute the
+    position-constrained warm start INSIDE the per-scenario trace (schur
+    linear solve), letting XLA CSE the Hessian blocks it shares with the
+    QCQP objective assembly -- cheaper than passing a separately-computed
+    ``x0``.  Mutually exclusive with ``x0``.
     """
+    if x0 is not None and warmstart_values is not None:
+        raise ValueError("pass x0 or warmstart_values, not both")
     if not config.use_pallas:
         return jax.vmap(lambda df, t, w, r, xx: solve_qcqp(
             structure, df, t, w, r, config, xx))(
@@ -810,12 +819,19 @@ def solve_qcqp_batch(structure: ProblemStructure,
     def group(a):
         return None if a is None else a.reshape((b_pad // s, s) + a.shape[1:])
 
-    d_fixed_g, times_g, waypoints_g, radii_g, x0_g = (
+    d_fixed_g, times_g, waypoints_g, radii_g, x0_g, wv_g = (
         group(pad(jnp.asarray(a, dtype) if a is not None else None))
-        for a in (d_fixed, times, waypoints, radii, x0))
+        for a in (d_fixed, times, waypoints, radii, x0, warmstart_values))
 
-    def block(df, t, w, r, xx=None):
-        if xx is None:
+    def block(df, t, w, r, xx=None, wv=None):
+        if wv is not None:
+            def pre_one(a1, a2, a3, a4, a5):
+                ws = position_constrained_warmstart(structure, a5, a2,
+                                                    method="schur")
+                return _pallas_pre(structure, a1, a2, a3, a4, config, ws,
+                                   layout)
+            pre = jax.vmap(pre_one)(df, t, w, r, wv)
+        elif xx is None:
             pre = jax.vmap(lambda a1, a2, a3, a4: _pallas_pre(
                 structure, a1, a2, a3, a4, config, None, layout))(df, t, w, r)
         else:
@@ -830,7 +846,10 @@ def solve_qcqp_batch(structure: ProblemStructure,
                                      x, u, y, rho, pr, du, dtype))(
             df, t, pre, outs[0], outs[2], outs[3], outs[4], outs[5], outs[6])
 
-    if x0_g is None:
+    if wv_g is not None:
+        sol = jax.vmap(lambda a, b, c, d, e: block(a, b, c, d, wv=e))(
+            d_fixed_g, times_g, waypoints_g, radii_g, wv_g)
+    elif x0_g is None:
         sol = jax.vmap(block)(d_fixed_g, times_g, waypoints_g, radii_g)
     else:
         sol = jax.vmap(block)(d_fixed_g, times_g, waypoints_g, radii_g, x0_g)
@@ -840,7 +859,8 @@ def solve_qcqp_batch(structure: ProblemStructure,
 
 def position_constrained_warmstart(free_structure: ProblemStructure,
                                    vertex_values: jnp.ndarray,
-                                   times: jnp.ndarray) -> jnp.ndarray:
+                                   times: jnp.ndarray,
+                                   method: str = "cholesky") -> jnp.ndarray:
     """x0 for the QCQP: solve the position-constrained linear problem and
     re-express its endpoint derivatives as free-interior d_free.
 
@@ -855,7 +875,7 @@ def position_constrained_warmstart(free_structure: ProblemStructure,
     std = make_structure(standard_mask(v, n), free_structure.dimension, n,
                          free_structure.derivative_to_optimize)
     d_fixed_std = linear.extract_fixed_values(std, vertex_values)
-    sol = linear.solve_linear(std, d_fixed_std, times)
+    sol = linear.solve_linear(std, d_fixed_std, times, method=method)
     d_all_std = jnp.concatenate([sol.d_fixed, sol.d_free], axis=-2)
 
     # Static index map: free column (vtx, deriv) of the free structure ->
