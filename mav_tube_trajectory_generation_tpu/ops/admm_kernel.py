@@ -95,6 +95,132 @@ def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
     prim_out[:] = prim
 
 
+def _kernel_fused(rho_ref, winv_ref, gt_ref, b_ref, rb_ref, xq_ref,
+                  x0_ref, z0_ref, u0_ref,
+                  x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
+                  *, n_iters: int, alpha: float, nb_p: int, n_ball: int,
+                  init_z: bool):
+    """Fused ADMM stage: forms m1 = W^{-1} G^T on the MXU in VMEM, runs the
+    iteration chain, and emits the final y = G x + b and the dual-residual
+    matvec -- so the (S, nfd, m_p) G^T tensor makes ONE HBM round trip per
+    stage instead of five (m1 formation, z0 init, iterations, final y, dual
+    residual each re-streamed it in the XLA formulation; ~1.7 GB each at the
+    flagship batch).
+
+    init_z: stage-0 entry -- z/u are initialized from the warm start x0
+    (z = project(G x0 + b), u = 0) instead of carried in.
+    """
+    rho = rho_ref[:]                      # (S, 1, 1)
+    winv = winv_ref[:]                    # (S, nfd, nfd)
+    gt = gt_ref[:]                        # (S, nfd, m_p)
+    b = b_ref[:]                          # (S, 1, m_p)
+    rb = rb_ref[:]                        # (S, 1, nb_p)
+    xq = xq_ref[:]                        # (S, nfd, 1) column
+
+    s = gt.shape[0]
+    # m1[s] = winv[s] @ gt[s]: small per-scenario MXU matmuls (full f32).
+    m1 = jnp.stack([
+        jax.lax.dot(winv[i], gt[i],
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        for i in range(s)], axis=0)       # (S, nfd, m_p)
+
+    def project(w):
+        wx = w[:, :, 0:nb_p]
+        wy = w[:, :, nb_p:2 * nb_p]
+        wz = w[:, :, 2 * nb_p:3 * nb_p]
+        sq = wx * wx + wy * wy + wz * wz
+        scale = jnp.where(
+            sq > rb * rb, rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 1.0)
+        ball = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb_p), 2) < n_ball
+        parts = [jnp.where(ball, wx * scale, jnp.minimum(wx, 0.0)),
+                 jnp.where(ball, wy * scale, jnp.minimum(wy, 0.0)),
+                 jnp.where(ball, wz * scale, jnp.minimum(wz, 0.0))]
+        if w.shape[2] > 3 * nb_p:
+            parts.append(jnp.minimum(w[:, :, 3 * nb_p:], 0.0))
+        return jnp.concatenate(parts, axis=2)
+
+    def body(_, carry):
+        x, z, zp, u, prim, y = carry
+        v = z - u - b                                     # (S, 1, m_p)
+        x_new = xq + rho * jnp.sum(m1 * v, axis=2, keepdims=True)
+        y = jnp.sum(gt * x_new, axis=1, keepdims=True) + b
+        y_rel = alpha * y + (1.0 - alpha) * z
+        z_new = project(y_rel + u)
+        u_new = u + y_rel - z_new
+        prim = jnp.max(jnp.abs(y - z_new), axis=2, keepdims=True)
+        return x_new, z_new, z, u_new, prim, y
+
+    if init_z:
+        x0 = x0_ref[:]                                    # (S, nfd, 1)
+        y0 = jnp.sum(gt * x0, axis=1, keepdims=True) + b
+        z_init = project(y0)
+        u_init = jnp.zeros_like(z_init)
+    else:
+        x0, z_init, u_init = x0_ref[:], z0_ref[:], u0_ref[:]
+        y0 = jnp.sum(gt * x0, axis=1, keepdims=True) + b
+    init = (x0, z_init, z_init, u_init,
+            jnp.full(rho.shape, jnp.inf, jnp.float32), y0)
+    x, z, zp, u, prim, y = jax.lax.fori_loop(0, n_iters, body, init)
+    # Dual-residual matvec G^T' dz: two single-axis reduces (a multi-axis
+    # keepdims reduce crashes Mosaic's VectorLayoutInferer on v5e).
+    dz = z - zp                                           # (S, 1, m_p)
+    gdz = jnp.sum(gt * dz, axis=2, keepdims=True)         # (S, nfd, 1)
+    dual = jnp.max(jnp.abs(gdz), axis=1, keepdims=True)   # (S, 1, 1)
+    x_out[:] = x
+    z_out[:] = z
+    zp_out[:] = zp
+    u_out[:] = u
+    prim_out[:] = prim
+    dual_out[:] = dual
+    y_out[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
+                                             "n_ball", "init_z", "interpret"))
+def admm_stage_fused(rho, winv, gt, b, rb, xq, x0, z0=None, u0=None, *,
+                     n_iters: int, alpha: float, nb_p: int,
+                     n_ball: int = -1, init_z: bool = True,
+                     interpret: bool = False):
+    """Fused ADMM stage: in-kernel m1 formation, z/u init from the warm
+    start (init_z=True; pass z0/u0 and init_z=False for stage > 0), and the
+    final y / dual-residual matvecs emitted by the kernel.
+
+    Args:
+      rho: (S, 1, 1).  winv: (S, nfd, nfd) KKT inverse.  gt: (S, nfd, m_p).
+      b: (S, 1, m_p).  rb: (S, 1, nb_p).  xq: (S, nfd, 1).  x0: (S, nfd, 1).
+
+    Returns:
+      (x (S, nfd, 1), z, z_prev, u (S, 1, m_p), prim (S, 1, 1),
+       dual_matvec_max (S, 1, 1) -- multiply by rho for the dual residual,
+       y (S, 1, m_p) = G x + b).
+    """
+    s, nfd, m_p = gt.shape
+    if n_ball < 0:
+        n_ball = nb_p
+    if z0 is None:
+        z0 = jnp.zeros((s, 1, m_p), jnp.float32)
+        u0 = jnp.zeros((s, 1, m_p), jnp.float32)
+    kernel = functools.partial(_kernel_fused, n_iters=n_iters, alpha=alpha,
+                               nb_p=nb_p, n_ball=n_ball, init_z=init_z)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, nfd, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+        ),
+        in_specs=[vmem] * 9,
+        out_specs=(vmem,) * 7,
+        interpret=interpret,
+    )(rho, winv, gt, b, rb, xq, x0, z0, u0)
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
                                              "n_ball", "interpret"))
 def admm_stage(rho, m1, gt, b, rb, xq, z0, u0, *,

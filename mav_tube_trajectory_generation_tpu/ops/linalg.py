@@ -69,17 +69,71 @@ def tri_lower_inverse(chol_lower: jnp.ndarray,
     return jnp.concatenate([top, bottom], axis=-2)
 
 
-def _spd_inverse_2x2(a: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form inverse for batched 1x1 / 2x2 SPD matrices."""
+def _spd_inverse_small(a: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse for batched SPD matrices, n <= 4.
+
+    Why closed form instead of recursing to 2x2: every op in the Schur
+    recursion is a separate ~30 us XLA:TPU dispatch; for the QCQP's
+    (6144, 135, 135) KKT inverse the sub-4x4 levels of the tree cost more in
+    dispatch than all the real matmuls combined (measured ~10 ms/batch).
+    The adjugate is one fused elementwise kernel per leaf.
+    """
     n = a.shape[-1]
     if n == 1:
         return 1.0 / a
-    det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
-    inv = jnp.stack([
-        jnp.stack([a[..., 1, 1], -a[..., 0, 1]], axis=-1),
-        jnp.stack([-a[..., 1, 0], a[..., 0, 0]], axis=-1),
-    ], axis=-2)
+    e = lambda i, j: a[..., i, j]
+    if n == 2:
+        det = e(0, 0) * e(1, 1) - e(0, 1) * e(1, 0)
+        rows = [[e(1, 1), -e(0, 1)], [-e(1, 0), e(0, 0)]]
+    elif n == 3:
+        c00 = e(1, 1) * e(2, 2) - e(1, 2) * e(2, 1)
+        c01 = e(1, 2) * e(2, 0) - e(1, 0) * e(2, 2)
+        c02 = e(1, 0) * e(2, 1) - e(1, 1) * e(2, 0)
+        det = e(0, 0) * c00 + e(0, 1) * c01 + e(0, 2) * c02
+        c11 = e(0, 0) * e(2, 2) - e(0, 2) * e(2, 0)
+        c12 = e(0, 1) * e(2, 0) - e(0, 0) * e(2, 1)
+        c22 = e(0, 0) * e(1, 1) - e(0, 1) * e(1, 0)
+        c10 = e(0, 2) * e(2, 1) - e(0, 1) * e(2, 2)
+        c20 = e(0, 1) * e(1, 2) - e(0, 2) * e(1, 1)
+        c21 = e(0, 2) * e(1, 0) - e(0, 0) * e(1, 2)
+        # adj[i, j] = cofactor(j, i); for symmetric a, cij == cji anyway.
+        rows = [[c00, c10, c20], [c01, c11, c21], [c02, c12, c22]]
+    elif n == 4:
+        # Cofactors via 2x2 minors of the lower two rows (Laplace on rows
+        # 0-1 / 2-3): det = sum of products of complementary 2x2 minors.
+        def m2(r0, r1, c0, c1):
+            return e(r0, c0) * e(r1, c1) - e(r0, c1) * e(r1, c0)
+        s01 = m2(0, 1, 0, 1); s02 = m2(0, 1, 0, 2); s03 = m2(0, 1, 0, 3)
+        s12 = m2(0, 1, 1, 2); s13 = m2(0, 1, 1, 3); s23 = m2(0, 1, 2, 3)
+        t01 = m2(2, 3, 0, 1); t02 = m2(2, 3, 0, 2); t03 = m2(2, 3, 0, 3)
+        t12 = m2(2, 3, 1, 2); t13 = m2(2, 3, 1, 3); t23 = m2(2, 3, 2, 3)
+        det = s01 * t23 - s02 * t13 + s03 * t12 \
+            + s12 * t03 - s13 * t02 + s23 * t01
+        rows = [
+            [e(1, 1) * t23 - e(1, 2) * t13 + e(1, 3) * t12,
+             -e(0, 1) * t23 + e(0, 2) * t13 - e(0, 3) * t12,
+             e(3, 1) * s23 - e(3, 2) * s13 + e(3, 3) * s12,
+             -e(2, 1) * s23 + e(2, 2) * s13 - e(2, 3) * s12],
+            [-e(1, 0) * t23 + e(1, 2) * t03 - e(1, 3) * t02,
+             e(0, 0) * t23 - e(0, 2) * t03 + e(0, 3) * t02,
+             -e(3, 0) * s23 + e(3, 2) * s03 - e(3, 3) * s02,
+             e(2, 0) * s23 - e(2, 2) * s03 + e(2, 3) * s02],
+            [e(1, 0) * t13 - e(1, 1) * t03 + e(1, 3) * t01,
+             -e(0, 0) * t13 + e(0, 1) * t03 - e(0, 3) * t01,
+             e(3, 0) * s13 - e(3, 1) * s03 + e(3, 3) * s01,
+             -e(2, 0) * s13 + e(2, 1) * s03 - e(2, 3) * s01],
+            [-e(1, 0) * t12 + e(1, 1) * t02 - e(1, 2) * t01,
+             e(0, 0) * t12 - e(0, 1) * t02 + e(0, 2) * t01,
+             -e(3, 0) * s12 + e(3, 1) * s02 - e(3, 2) * s01,
+             e(2, 0) * s12 - e(2, 1) * s02 + e(2, 2) * s01],
+        ]
+    else:
+        raise ValueError(f"no closed form for n={n}")
+    inv = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
     return inv / det[..., None, None]
+
+
+_spd_inverse_2x2 = _spd_inverse_small  # backward-compat alias
 
 
 def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
@@ -104,13 +158,13 @@ def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
     (its own matmul rounding dominates), hence default 0.
     """
     n = a.shape[-1]
-    if n <= 2:
-        return _spd_inverse_2x2(a)
+    if n <= 4:
+        return _spd_inverse_small(a)
 
     def rec(m):
         k = m.shape[-1]
-        if k <= 2:
-            return _spd_inverse_2x2(m)
+        if k <= 4:
+            return _spd_inverse_small(m)
         h = (k + 1) // 2
         top_left = m[..., :h, :h]
         bot_left = m[..., h:, :h]

@@ -474,45 +474,33 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
         [rb.astype(f32), jnp.ones((s, layout.tail), f32)],
         axis=-1)[:, None, :]                              # (S, 1, nb_p)
 
-    def project_pad(w):
-        # Mirrors the kernel's packed projection (ops/admm_kernel._kernel):
-        # tail lanes of the ball planes hold half-space rows.
-        wx, wy, wz = (w[:, :, c * nb_p:(c + 1) * nb_p] for c in range(3))
-        sq = wx * wx + wy * wy + wz * wz
-        scale = jnp.where(sq > rb_pad * rb_pad,
-                          rb_pad / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
-        ball = (jnp.arange(nb_p) < n_ball)[None, None, :]
-        parts = [jnp.where(ball, v * scale, jnp.minimum(v, 0.0))
-                 for v in (wx, wy, wz)]
-        if layout.nh_p:
-            parts.append(jnp.minimum(w[:, :, 3 * nb_p:], 0.0))
-        return jnp.concatenate(parts, axis=2)
-
     gt = gt.astype(f32)
     gtg = gt @ jnp.swapaxes(gt, -1, -2)                   # (S, nfd, nfd)
     x = x_flat0.astype(f32)[:, :, None]                   # (S, nfd, 1)
-    z = project_pad(jnp.swapaxes(x, -1, -2) @ gt + b_pad)  # (S, 1, m_p)
-    u = jnp.zeros_like(z)
+    z = u = None   # stage 0 initializes z/u from x inside the kernel
 
     spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"
                else linalg.spd_inverse)
     rho = jnp.full((s, 1, 1), config.rho, f32)
     prim_res = jnp.full((s,), jnp.inf, f32)
     dual_res = jnp.full((s,), jnp.inf, f32)
+    y = None
     for stage in range(config.n_stages):
         kkt = (p_big + rho * gtg
                + config.sigma * jnp.eye(nfd, dtype=f32)).astype(f32)
         w_inv = spd_inv(kkt)                               # (S, nfd, nfd)
-        m1 = w_inv @ gt                                    # (S, nfd, m_p)
         xq = -(w_inv @ q_flat.astype(f32)[:, :, None])     # (S, nfd, 1)
-        x, z, z_prev, u, prim = admm_kernel.admm_stage(
-            rho, m1, gt, b_pad, rb_pad, xq, z, u, n_iters=config.n_iters,
-            alpha=config.alpha, nb_p=nb_p, n_ball=n_ball)
+        # Fused kernel: m1 = w_inv @ G^T formed on-MXU in VMEM; z/u init,
+        # final y, and the dual matvec all happen in-kernel so G^T makes one
+        # HBM round trip per stage.
+        x, z, z_prev, u, prim, dualm, y = admm_kernel.admm_stage_fused(
+            rho, w_inv, gt, b_pad, rb_pad, xq, x, z, u,
+            n_iters=config.n_iters, alpha=config.alpha, nb_p=nb_p,
+            n_ball=n_ball, init_z=(stage == 0))
         prim_res = prim[:, 0, 0]
         # Padded entries of z are fixed points of the iteration (y=0, b=0),
         # so dz is zero there and the padded matvec is exact.
-        dual_res = rho[:, 0, 0] * jnp.max(
-            jnp.abs(gt @ jnp.swapaxes(z - z_prev, -1, -2)), axis=(-2, -1))
+        dual_res = rho[:, 0, 0] * dualm[:, 0, 0]
         if stage + 1 < config.n_stages:
             ratio = jnp.sqrt(jnp.maximum(prim_res, 1e-30)
                              / jnp.maximum(dual_res, 1e-30))[:, None, None]
@@ -527,7 +515,7 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
                 for (c, lane, _, ln) in layout.half_chunks()]
         return jnp.concatenate(cols + half, axis=-1).astype(out_dtype)
 
-    y_fin = jnp.swapaxes(x, -1, -2) @ gt + b_pad          # (S, 1, m_p)
+    y_fin = y                                             # (S, 1, m_p)
     x_fin = x[:, :, 0].astype(out_dtype)
     return (x_fin, unpad(z), unpad(u), unpad(y_fin),
             rho[:, 0, 0].astype(out_dtype),
@@ -704,7 +692,9 @@ def solve_qcqp(structure: ProblemStructure,
                 jnp.full((sb.shape[0] - n_sph,),
                          np.sqrt(config.rho_tube_factor), dtype)])
             sb = sb * fac_b
-            sh = sh * np.sqrt(config.rho_half_factor)
+            # dtype-pinned: a bare np scalar would promote f32 -> f64 under
+            # x64 and break the scan carry.
+            sh = sh * dtype.type(np.sqrt(config.rho_half_factor))
         gb = gb * sb[:, None, None, None]
         bb = cons.b_ball * sb[:, None]
         rb = cons.r_ball * sb

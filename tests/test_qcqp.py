@@ -303,13 +303,13 @@ def test_admm_pallas_interpret_matches_xla():
     cfg_p = qcqp.ADMMConfig(n_stages=2, n_iters=50, use_pallas=True)
     sx = qcqp.solve_qcqp(structure, args[0], args[1], args[2], args[3],
                          config=cfg_x)
-    orig = ak.admm_stage
-    ak.admm_stage = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    orig = ak.admm_stage_fused
+    ak.admm_stage_fused = lambda *a, **k: orig(*a, **{**k, "interpret": True})
     try:
         sp = qcqp.solve_qcqp(structure, args[0], args[1], args[2], args[3],
                              config=cfg_p)
     finally:
-        ak.admm_stage = orig
+        ak.admm_stage_fused = orig
     np.testing.assert_allclose(np.asarray(sp.d_free), np.asarray(sx.d_free),
                                rtol=1e-2, atol=1e-3)
 
@@ -327,15 +327,15 @@ def test_solve_qcqp_batch_matches_per_scenario():
     wp_b = jnp.stack([d32(waypoints)] * b)
     r_b = jnp.full((b, structure.n_segments, 2), 0.6, jnp.float32)
     cfg = qcqp.ADMMConfig(n_stages=2, n_iters=30, use_pallas=True)
-    orig = ak.admm_stage
-    ak.admm_stage = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    orig = ak.admm_stage_fused
+    ak.admm_stage_fused = lambda *a, **k: orig(*a, **{**k, "interpret": True})
     try:
         s1 = jax.vmap(lambda a, c, d, e: qcqp.solve_qcqp(
             structure, a, c, d, e, config=cfg))(dff, t_b, wp_b, r_b)
         s4 = qcqp.solve_qcqp_batch(structure, dff, t_b, wp_b, r_b,
                                    config=cfg, scenario_block=4)  # pads 6->8
     finally:
-        ak.admm_stage = orig
+        ak.admm_stage_fused = orig
     np.testing.assert_array_equal(np.asarray(s4.d_free),
                                   np.asarray(s1.d_free))
     np.testing.assert_array_equal(np.asarray(s4.max_violation),
