@@ -136,6 +136,55 @@ def _spd_inverse_small(a: jnp.ndarray) -> jnp.ndarray:
 _spd_inverse_2x2 = _spd_inverse_small  # backward-compat alias
 
 
+def _spd_inverse_scalar(a: jnp.ndarray, n_max: int = 9) -> jnp.ndarray:
+    """Fully scalar-unrolled SPD inverse for small n (default cutoff 9).
+
+    The block-Schur recursion expressed on SCALAR entries (python lists of
+    (...,)-shaped arrays), so the whole leaf inverse fuses into one or two
+    elementwise XLA kernels instead of the ~30 separate dispatches the
+    tensor-form recursion costs for a size-9 subtree (each ~30 us on TPU,
+    pure overhead at these sizes).  O(n^3) scalar ops -- keep n <= ~9 or the
+    fusion gets unwieldy.
+    """
+    n = a.shape[-1]
+    assert n <= n_max, n
+
+    def inv_rows(rows):
+        k = len(rows)
+        if k == 1:
+            return [[1.0 / rows[0][0]]]
+        if k == 2:
+            (a00, a01), (a10, a11) = rows
+            det = a00 * a11 - a01 * a10
+            return [[a11 / det, -a01 / det], [-a10 / det, a00 / det]]
+        h = (k + 1) // 2
+        tl = [r[:h] for r in rows[:h]]
+        bl = [r[:h] for r in rows[h:]]
+        br = [r[h:] for r in rows[h:]]
+        ai = inv_rows(tl)
+        # w = bl @ ai  (k-h, h)
+        w = [[sum(bl[i][t] * ai[t][j] for t in range(h)) for j in range(h)]
+             for i in range(k - h)]
+        # s = br - w @ bl^T
+        s = [[br[i][j] - sum(w[i][t] * bl[j][t] for t in range(h))
+              for j in range(k - h)] for i in range(k - h)]
+        si = inv_rows(s)
+        # siw = si @ w  (k-h, h)
+        siw = [[sum(si[i][t] * w[t][j] for t in range(k - h))
+                for j in range(h)] for i in range(k - h)]
+        # ul = ai + w^T @ siw
+        ul = [[ai[i][j] + sum(w[t][i] * siw[t][j] for t in range(k - h))
+               for j in range(h)] for i in range(h)]
+        out = [ul[i] + [-siw[t][i] for t in range(k - h)] for i in range(h)]
+        out += [[-siw[i][j] for j in range(h)] + si[i]
+                for i in range(k - h)]
+        return out
+
+    rows = [[a[..., i, j] for j in range(n)] for i in range(n)]
+    inv = inv_rows(rows)
+    return jnp.stack([jnp.stack(r, axis=-1) for r in inv], axis=-2)
+
+
 def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
     """Batched SPD inverse with NO factorization custom call: recursive 2x2
     block Schur complement, pure MXU matmuls all the way down.
@@ -158,13 +207,18 @@ def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
     (its own matmul rounding dominates), hence default 0.
     """
     n = a.shape[-1]
-    if n <= 4:
+    if n <= 2:
         return _spd_inverse_small(a)
+    if n <= 9:
+        return _spd_inverse_scalar(a)
 
     def rec(m):
         k = m.shape[-1]
-        if k <= 4:
-            return _spd_inverse_small(m)
+        if k <= 9:
+            # Scalar-unrolled leaf: one fused kernel instead of a ~30-op
+            # sub-tree of ~30 us dispatches (the sub-17 levels dominated the
+            # whole inverse's wall time before this).
+            return _spd_inverse_scalar(m)
         h = (k + 1) // 2
         top_left = m[..., :h, :h]
         bot_left = m[..., h:, :h]

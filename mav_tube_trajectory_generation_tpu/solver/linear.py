@@ -104,6 +104,39 @@ def cost_from_derivatives(structure: ProblemStructure,
     return 0.5 * jnp.einsum('...krd,...krc,...kcd->...', d_seg, h_blocks, d_seg)
 
 
+def solve_free_derivatives(structure: ProblemStructure,
+                           d_fixed: jnp.ndarray,
+                           times: jnp.ndarray,
+                           method: str = "cholesky") -> jnp.ndarray:
+    """d_free only -- the closed-form solve WITHOUT coefficient recovery or
+    cost evaluation.  For consumers that only need the compact free
+    derivatives (e.g. the QCQP warm start), the full ``solve_linear`` wastes
+    the per-segment coefficient matmuls and gathers per scenario."""
+    with jax.default_matmul_precision('highest'):
+        nf = structure.n_fixed
+        d_fixed = jnp.asarray(d_fixed)
+        times = jnp.asarray(times)
+        dtype = jnp.result_type(d_fixed, times)
+        d_fixed = d_fixed.astype(dtype)
+        times = times.astype(dtype)
+        if structure.n_free == 0:
+            return jnp.zeros(d_fixed.shape[:-2] + (0, structure.dimension),
+                             dtype)
+        r = assemble_r(structure, times)
+        r_pf = r[..., nf:, :nf]
+        r_pp = r[..., nf:, nf:]
+        scale = jax.lax.rsqrt(jnp.diagonal(r_pp, axis1=-2, axis2=-1))
+        r_pp_eq = r_pp * scale[..., :, None] * scale[..., None, :]
+        rhs = (-jnp.einsum('...pf,...fd->...pd', r_pf, d_fixed)
+               * scale[..., :, None])
+        if method == "schur":
+            sol_eq = linalg.spd_inverse_schur(r_pp_eq) @ rhs
+        else:
+            chol = jax.scipy.linalg.cho_factor(r_pp_eq, lower=True)
+            sol_eq = jax.scipy.linalg.cho_solve(chol, rhs)
+        return sol_eq * scale[..., :, None]
+
+
 @full_matmul_precision
 def solve_linear(structure: ProblemStructure,
                  d_fixed: jnp.ndarray,

@@ -271,6 +271,13 @@ def _padded_constraint_system(structure: ProblemStructure,
 
     Returns (gt (nfd, m_p), b_pad (1, m_p), rb (n_ball,) scaled radii,
              sb (n_ball,), sh (n_half,)); gt/b_pad/rb in float32.
+
+    (Rejected experiment, do not retry blindly: computing the Gram G G^T
+    from the compact family factors -- delta_de S0 + sum_k B1_k kron P_k +
+    B2_k kron n_k n_k^T -- is ~10x fewer FLOPs than the (nfd, m_p) matmul
+    but benched 13% SLOWER end-to-end: the tiny (45, 8) @ (8, 45) batched
+    contractions are MXU-latency-bound and their layouts cascade extra
+    copies.  The one big materialized-gt matmul wins.)
     """
     k = structure.n_segments
     n = structure.n_coefficients
@@ -306,6 +313,9 @@ def _padded_constraint_system(structure: ProblemStructure,
     sh_kj = np.sqrt(f_half) / jnp.clip(e_norm[:, mid], 1e-2, 1e2)   # (K, M)
 
     # --- G^T blocks, already scaled, rows = (p, d) p-major. ---------------
+    # (A broadcast-multiply restructure with pre-transposed small operands
+    # was tried here to dodge the post-einsum relayout copies; it was 26 ms
+    # SLOWER end to end -- XLA's layout choices for the einsum form win.)
     # sphere: G[p,d,c,b] = ecp_s[b, n-1, p] sb_sph[b] I3[c,d]
     eph = ecp_s[:k - 1, n - 1] * sb_sph[:, None]           # (K-1, n_free)
     gt_sph = jnp.einsum('bp,dc->pdcb', eph, eye3)          # (nf,3,3,K-1)
@@ -441,7 +451,7 @@ def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
 
 
 def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
-                       q_flat, x_flat0, nfd, out_dtype):
+                       q_flat, x_flat0, nfd, out_dtype, gtg=None):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
     ALL array arguments carry a leading scenario-block axis S: one kernel
@@ -475,7 +485,9 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
         axis=-1)[:, None, :]                              # (S, 1, nb_p)
 
     gt = gt.astype(f32)
-    gtg = gt @ jnp.swapaxes(gt, -1, -2)                   # (S, nfd, nfd)
+    if gtg is None:
+        gtg = gt @ jnp.swapaxes(gt, -1, -2)               # (S, nfd, nfd)
+    gtg = gtg.astype(f32)
     x = x_flat0.astype(f32)[:, :, None]                   # (S, nfd, 1)
     z = u = None   # stage 0 initializes z/u from x inside the kernel
 
@@ -865,8 +877,14 @@ def position_constrained_warmstart(free_structure: ProblemStructure,
     std = make_structure(standard_mask(v, n), free_structure.dimension, n,
                          free_structure.derivative_to_optimize)
     d_fixed_std = linear.extract_fixed_values(std, vertex_values)
-    sol = linear.solve_linear(std, d_fixed_std, times, method=method)
-    d_all_std = jnp.concatenate([sol.d_fixed, sol.d_free], axis=-2)
+    # Compact solve only: the warm start needs d_free, not coefficients.
+    d_free_std = linear.solve_free_derivatives(std, d_fixed_std, times,
+                                               method=method)
+    d_all_std = jnp.concatenate(
+        [jnp.broadcast_to(
+            jnp.asarray(d_fixed_std, d_free_std.dtype),
+            d_free_std.shape[:-2] + (std.n_fixed, std.dimension)),
+         d_free_std], axis=-2)
 
     # Static index map: free column (vtx, deriv) of the free structure ->
     # compact column in the standard structure.
