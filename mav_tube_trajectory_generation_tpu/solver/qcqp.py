@@ -247,6 +247,63 @@ def build_constraints(structure: ProblemStructure,
     )
 
 
+def _padded_gather_maps(k: int, n: int, layout: _PadLayout):
+    """Static lane -> source-row index maps for the padded component-plane
+    layout (NumPy, cached): every constraint row of G^T is an outer product
+    ``ecp_s[k_m, j_m, :] (x) w_m`` with ``w_m`` a direction vector times a
+    row scale, so the whole (nfd, m_p) tensor can be written ONCE by a
+    gather + broadcast-multiply instead of per-family einsums + relayout
+    copies + a concatenate (the concat chain profiled ~15 ms/batch 6144).
+
+    Lane order per ball plane c: [spheres (k-1) | tubes (k*(n-2)) | packed
+    half rows | zero pad]; final plane: [remaining half rows | zero pad].
+
+    Returns int32 arrays of length m_p: ecp_idx (into ecp_s.reshape(k*n,
+    nf)), dir_idx (into the [eye3 | proj | dirs | 0] direction pool),
+    scl_idx (into [sb_sph | sb_tube | sh | 0]), off_idx (into
+    [b_sph | b_tube | b_half | 0]).
+    """
+    n_mid = n - 2
+    n_ball = layout.n_ball
+    m_p = layout.m_p
+    ecp_idx = np.zeros(m_p, np.int32)
+    dir_idx = np.full(m_p, 3 + 3 * k + 2 * k, np.int32)     # zero pool row
+    scl_idx = np.full(m_p, n_ball + layout.n_half, np.int32)  # zero scale
+    off_idx = np.full(m_p, 3 * n_ball + layout.n_half, np.int32)  # zero b
+
+    def set_half(lane, h):
+        ki, rem = divmod(h, n_mid * 2)
+        j, s = divmod(rem, 2)
+        ecp_idx[lane] = ki * n + 1 + j
+        dir_idx[lane] = 3 + 3 * k + ki * 2 + s
+        scl_idx[lane] = n_ball + h
+        off_idx[lane] = 3 * n_ball + h
+
+    for c in range(3):
+        base = c * layout.nb_p
+        for b in range(k - 1):                               # spheres
+            lane = base + b
+            ecp_idx[lane] = b * n + (n - 1)
+            dir_idx[lane] = c
+            scl_idx[lane] = b
+            off_idx[lane] = b * 3 + c
+        for r in range(k * n_mid):                           # tubes
+            lane = base + (k - 1) + r
+            ki, j = divmod(r, n_mid)
+            ecp_idx[lane] = ki * n + 1 + j
+            dir_idx[lane] = 3 + ki * 3 + c
+            scl_idx[lane] = (k - 1) + r
+            off_idx[lane] = 3 * (k - 1) + r * 3 + c
+    for (c, lane0, off, ln) in layout.half_chunks():
+        base = c * layout.nb_p if c < 3 else 3 * layout.nb_p
+        for i in range(ln):
+            set_half(base + lane0 + i, off + i)
+    return ecp_idx, dir_idx, scl_idx, off_idx
+
+
+_GATHER_MAP_CACHE: dict = {}
+
+
 def _padded_constraint_system(structure: ProblemStructure,
                               times: jnp.ndarray,
                               d_fixed: jnp.ndarray,
@@ -312,53 +369,37 @@ def _padded_constraint_system(structure: ProblemStructure,
         proj_f[:, None] * e_norm[:, mid] / jnp.sqrt(3.0), 1e-2, 1e2)  # (K,M)
     sh_kj = np.sqrt(f_half) / jnp.clip(e_norm[:, mid], 1e-2, 1e2)   # (K, M)
 
-    # --- G^T blocks, already scaled, rows = (p, d) p-major. ---------------
-    # (A broadcast-multiply restructure with pre-transposed small operands
-    # was tried here to dodge the post-einsum relayout copies; it was 26 ms
-    # SLOWER end to end -- XLA's layout choices for the einsum form win.)
-    # sphere: G[p,d,c,b] = ecp_s[b, n-1, p] sb_sph[b] I3[c,d]
-    eph = ecp_s[:k - 1, n - 1] * sb_sph[:, None]           # (K-1, n_free)
-    gt_sph = jnp.einsum('bp,dc->pdcb', eph, eye3)          # (nf,3,3,K-1)
-    gt_sph = gt_sph.reshape(nfd, 3, k - 1)
-    # tube: G[p,d,c,(k,j)] = ecp_s[k,j,p] sb_tube[k,j] proj[k,c,d]
-    gt_tube = jnp.einsum('kjp,kcd->pdckj',
-                         ecp_s[:, mid] * sb_tube[..., None], proj)
-    gt_tube = gt_tube.reshape(nfd, 3, k * n_mid)
-    # half: G[p,d,(k,j,s)] = ecp_s[k,j,p] sh[k,j] dirs[k,s,d]
+    # --- G^T in ONE write: gather + broadcast-multiply. --------------------
+    # Every constraint row is ecp_s[k_m, j_m, :] (x) w_m (direction vector
+    # times row scale), so gt[(p,d), m] = E_sel[m, p] * W[m, d] with static
+    # lane -> source maps; no per-family einsums, no relayout copies, no
+    # concatenate (the old concat chain profiled ~15 ms/batch 6144).
+    # (Also-rejected earlier: a broadcast-multiply restructure that KEPT the
+    # per-family parts + concat -- 26 ms slower; the win here is the single
+    # full-tensor write.)
+    key = (k, n, layout)
+    maps = _GATHER_MAP_CACHE.get(key)
+    if maps is None:
+        maps = tuple(jnp.asarray(a) for a in _padded_gather_maps(k, n, layout))
+        _GATHER_MAP_CACHE[key] = maps
+    ecp_idx, dir_idx, scl_idx, off_idx = maps
+
     dirs = jnp.stack([-nvec, nvec], axis=1)                # (K, 2, 3)
-    gt_half = jnp.einsum('kjp,ksd->pdkjs',
-                         ecp_s[:, mid] * sh_kj[..., None], dirs)
-    gt_half = gt_half.reshape(nfd, n_half)
+    dtype = times.dtype
+    dir_pool = jnp.concatenate([
+        eye3, proj.reshape(k * 3, 3), dirs.reshape(k * 2, 3),
+        jnp.zeros((1, 3), dtype)], axis=0)                 # (3+5K+1, 3)
+    sh_flat = jnp.broadcast_to(sh_kj[..., None],
+                               (k, n_mid, 2)).reshape(-1)  # (n_half,)
+    scl_pool = jnp.concatenate([
+        sb_sph, sb_tube.reshape(-1), sh_flat, jnp.zeros((1,), dtype)])
 
-    # Packed plane layout (see _PadLayout): ball planes carry half-space
-    # rows in their padding tails.
-    chunk_by_plane = {c: (off, ln)
-                      for (c, _, off, ln) in layout.half_chunks()}
-    gt_half32 = gt_half.astype(f32)
+    e_sel = ecp_s.reshape(k * n, n_free)[ecp_idx]          # (m_p, n_free)
+    w_lane = dir_pool[dir_idx] * scl_pool[scl_idx][:, None]  # (m_p, 3)
+    gt = jnp.einsum('mp,md->pdm', e_sel, w_lane).reshape(nfd, layout.m_p)
+    gt = gt.astype(f32)
 
-    def plane_parts(c, ball_part):
-        parts = list(ball_part)
-        used = n_ball if c < 3 else 0
-        if c in chunk_by_plane:
-            off, ln = chunk_by_plane[c]
-            parts.append(gt_half32[..., off:off + ln]
-                         if ball_part else gt_half32[:, off:off + ln])
-            used += ln
-        width = layout.nb_p if c < 3 else layout.nh_p
-        if width - used:
-            parts.append(jnp.zeros(parts[0].shape[:-1] + (width - used,),
-                                   f32))
-        return parts
-
-    parts = []
-    for c in range(3):
-        parts.extend(plane_parts(
-            c, [gt_sph[:, c].astype(f32), gt_tube[:, c].astype(f32)]))
-    if layout.nh_p:
-        parts.extend(plane_parts(3, []))
-    gt = jnp.concatenate(parts, axis=1)                    # (nfd, m_p)
-
-    # --- Offsets / radii (small tensors). ----------------------------------
+    # --- Offsets / radii (small tensors; same gather trick for b). ---------
     b_sph = (cp0[:k - 1, n - 1, :] - waypoints[1:k]) * sb_sph[:, None]
     b_tube = jnp.einsum('kcd,kjd->kjc', proj,
                         cp0[:, mid] - p_start[:, None, :]) \
@@ -371,24 +412,10 @@ def _padded_constraint_system(structure: ProblemStructure,
               - jnp.einsum('ksd,ksd->ks', dirs, caps)[:, None, :]) \
         * sh_kj[..., None]                                 # (K, M, 2)
 
-    b_half_flat = b_half.reshape(-1).astype(f32)
-    bparts = []
-    for c in range(3):
-        seg = [b_sph[:, c].astype(f32),
-               b_tube[..., c].reshape(-1).astype(f32)]
-        used = n_ball
-        if c in chunk_by_plane:
-            off, ln = chunk_by_plane[c]
-            seg.append(b_half_flat[off:off + ln])
-            used += ln
-        if layout.nb_p - used:
-            seg.append(jnp.zeros((layout.nb_p - used,), f32))
-        bparts.extend(seg)
-    if layout.nh_p:
-        off, ln = chunk_by_plane[3]
-        bparts.extend([b_half_flat[off:off + ln],
-                       jnp.zeros((layout.nh_p - ln,), f32)])
-    b_pad = jnp.concatenate(bparts)[None, :]               # (1, m_p)
+    off_pool = jnp.concatenate([
+        b_sph.reshape(-1), b_tube.reshape(-1), b_half.reshape(-1),
+        jnp.zeros((1,), dtype)])
+    b_pad = off_pool[off_idx][None, :].astype(f32)         # (1, m_p)
 
     rb = jnp.concatenate([radii[:k - 1, 1] * sb_sph,
                           (jnp.broadcast_to(radii[:, :1], (k, n_mid))
