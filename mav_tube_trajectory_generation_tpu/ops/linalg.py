@@ -185,7 +185,8 @@ def _spd_inverse_scalar(a: jnp.ndarray, n_max: int = 9) -> jnp.ndarray:
     return jnp.stack([jnp.stack(r, axis=-1) for r in inv], axis=-2)
 
 
-def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
+def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0,
+                      symmetrize: bool = True) -> jnp.ndarray:
     """Batched SPD inverse with NO factorization custom call: recursive 2x2
     block Schur complement, pure MXU matmuls all the way down.
 
@@ -205,12 +206,23 @@ def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
     newton_steps=0.  Newton-Schulz polish (W <- W(2I - A W)) is available but
     measured to *hurt* once the residual is already at the cond*eps floor
     (its own matmul rounding dominates), hence default 0.
+    symmetrize=False skips the per-level 0.5 (S + S^T) and the final
+    0.5 (W + W^T).  WARNING: the per-level symmetrization is LOAD-BEARING
+    at f32 for n ~ 100+: on the QCQP's real stage KKT (n=135, cond ~1.1e3)
+    the unsymmetrized recursion's residual explodes to ~4e7 (vs 3.8e-4
+    symmetrized) -- asymmetry drift amplifies multiplicatively through the
+    Schur levels.  A synthetic cond-2e2 test matrix masks this (5.2e-6 vs
+    3.7e-6).  Only use False for small n / f64 where the ~3 ms/batch of
+    transpose-relayout copies matters more than the guarantee.
     """
     n = a.shape[-1]
     if n <= 2:
         return _spd_inverse_small(a)
     if n <= 9:
         return _spd_inverse_scalar(a)
+
+    def sym(m):
+        return 0.5 * (m + jnp.swapaxes(m, -1, -2)) if symmetrize else m
 
     def rec(m):
         k = m.shape[-1]
@@ -225,8 +237,7 @@ def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
         bot_right = m[..., h:, h:]
         ai = rec(top_left)
         w = bot_left @ ai                                   # (k-h, h)
-        s = bot_right - w @ jnp.swapaxes(bot_left, -1, -2)
-        s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+        s = sym(bot_right - w @ jnp.swapaxes(bot_left, -1, -2))
         si = rec(s)
         siw = si @ w                                        # (k-h, h)
         ul = ai + jnp.swapaxes(w, -1, -2) @ siw
@@ -235,8 +246,7 @@ def spd_inverse_schur(a: jnp.ndarray, newton_steps: int = 0) -> jnp.ndarray:
         bottom = jnp.concatenate([-siw, si], axis=-1)
         return jnp.concatenate([top, bottom], axis=-2)
 
-    w = rec(a)
-    w = 0.5 * (w + jnp.swapaxes(w, -1, -2))
+    w = sym(rec(a))
     eye2 = 2.0 * jnp.eye(n, dtype=a.dtype)
     for _ in range(newton_steps):
         w = w @ (eye2 - a @ w)

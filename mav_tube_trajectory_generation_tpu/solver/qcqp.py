@@ -394,6 +394,9 @@ def _padded_constraint_system(structure: ProblemStructure,
     scl_pool = jnp.concatenate([
         sb_sph, sb_tube.reshape(-1), sh_flat, jnp.zeros((1,), dtype)])
 
+    # (Neutral variant, measured: pre-transposed operands -- e_selT
+    # (n_free, m_p) x w_T (3, m_p) broadcast -- to dodge the 5 ms gt
+    # relayout copy; 144.9 vs 143.7 ms, XLA re-derives the same layouts.)
     e_sel = ecp_s.reshape(k * n, n_free)[ecp_idx]          # (m_p, n_free)
     w_lane = dir_pool[dir_idx] * scl_pool[scl_idx][:, None]  # (m_p, 3)
     gt = jnp.einsum('mp,md->pdm', e_sel, w_lane).reshape(nfd, layout.m_p)
@@ -513,6 +516,11 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
 
     gt = gt.astype(f32)
     if gtg is None:
+        # (Rejected: a dedicated Pallas Gram kernel -- one VMEM pass, plain
+        # MXU dots -- benched 143.7 -> 166.7 ms/batch.  XLA's kOutput fusion
+        # reads the assembly fusion's native layout directly; the kernel
+        # boundary forces standard-layout copies of gt on both sides that
+        # cost more than the fusion's MXU inefficiency.)
         gtg = gt @ jnp.swapaxes(gt, -1, -2)               # (S, nfd, nfd)
     gtg = gtg.astype(f32)
     x = x_flat0.astype(f32)[:, :, None]                   # (S, nfd, 1)
