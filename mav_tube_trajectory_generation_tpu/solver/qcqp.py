@@ -380,9 +380,12 @@ def _padded_constraint_system(structure: ProblemStructure,
     key = (k, n, layout)
     maps = _GATHER_MAP_CACHE.get(key)
     if maps is None:
-        maps = tuple(jnp.asarray(a) for a in _padded_gather_maps(k, n, layout))
+        # Cache NUMPY arrays only: a jnp array materialized inside a jit
+        # trace is that trace's constant tracer, and reusing it from a later
+        # trace raises UnexpectedTracerError.
+        maps = _padded_gather_maps(k, n, layout)
         _GATHER_MAP_CACHE[key] = maps
-    ecp_idx, dir_idx, scl_idx, off_idx = maps
+    ecp_idx, dir_idx, scl_idx, off_idx = (jnp.asarray(a) for a in maps)
 
     dirs = jnp.stack([-nvec, nvec], axis=1)                # (K, 2, 3)
     dtype = times.dtype
@@ -582,8 +585,30 @@ class _PallasPre(NamedTuple):
     d_scale: jnp.ndarray      # (n_free,)
 
 
-def _objective_blocks(structure, d_fixed, times, config, x0, dtype):
-    """Equilibrated objective (p_eq/q_eq/d_scale) + scaled warm start."""
+def _warmstart_position_cols(structure: ProblemStructure):
+    """Static (pos, rest) free-column index split for the in-trace warm
+    start: pos = interior-vertex position columns, rest = the others."""
+    fc = np.asarray(structure.free_cols)
+    interior = (fc[:, 0] > 0) & (fc[:, 0] < structure.n_vertices - 1)
+    pos_mask = interior & (fc[:, 1] == 0)
+    pos = np.nonzero(pos_mask)[0].astype(np.int32)
+    rest = np.nonzero(~pos_mask)[0].astype(np.int32)
+    return pos, rest
+
+
+def _objective_blocks(structure, d_fixed, times, config, x0, dtype,
+                      warmstart_positions=None):
+    """Equilibrated objective (p_eq/q_eq/d_scale) + scaled warm start.
+
+    warmstart_positions: (V-2, D) interior waypoint positions.  When given
+    (and x0 is None), the position-constrained warm start is computed ON the
+    free-structure R blocks assembled here: pin the interior-position free
+    columns to the waypoints and solve the remaining (n_free - V + 2)-sized
+    SPD system -- the same equality-constrained minimum the reference's
+    computeInitialSolutionWithPositionConstraints obtains via a separate
+    standard-structure solve (nonlinear_impl.h:199-272), without assembling
+    a second R.  Start/goal derivatives are taken from ``d_fixed``.
+    """
     nf = structure.n_fixed
     n_free = structure.n_free
     # Objective blocks: per-dim quadratic with the same R_pp
@@ -596,27 +621,42 @@ def _objective_blocks(structure, d_fixed, times, config, x0, dtype):
     d_scale = jax.lax.rsqrt(jnp.diagonal(r_pp))           # (n_free,)
     p_eq = r_pp * d_scale[:, None] * d_scale[None, :]
     q_eq = q_lin * d_scale[:, None]
-    if x0 is None:
+    if x0 is not None:
+        x_init = jnp.asarray(x0, dtype) / d_scale[:, None]
+    elif warmstart_positions is not None:
+        pos, rest = _warmstart_position_cols(structure)
+        pos_j = jnp.asarray(pos)
+        rest_j = jnp.asarray(rest)
+        wp = jnp.asarray(warmstart_positions, dtype)       # (n_pos, D)
+        r_rr = r_pp[rest][:, rest]
+        r_rp = r_pp[rest][:, pos]
+        rhs = -(q_lin[rest_j] + r_rp @ wp)
+        s_r = jax.lax.rsqrt(jnp.diagonal(r_rr))
+        x_r = s_r[:, None] * (linalg.spd_inverse_schur(
+            r_rr * s_r[:, None] * s_r[None, :]) @ (rhs * s_r[:, None]))
+        x0_full = jnp.zeros((n_free, wp.shape[-1]), dtype)
+        x0_full = x0_full.at[pos_j].set(wp).at[rest_j].set(x_r)
+        x_init = x0_full / d_scale[:, None]
+    else:
         # Unconstrained minimum: P x = -q  (per dim).
         x_init = -jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(
                 p_eq + config.sigma * jnp.eye(n_free, dtype=dtype),
                 lower=True), q_eq)
-    else:
-        x_init = jnp.asarray(x0, dtype) / d_scale[:, None]
     return p_eq, q_eq, d_scale, x_init
 
 
 def _pallas_pre(structure: ProblemStructure, d_fixed, times, waypoints,
                 radii, config: ADMMConfig, x0,
-                layout: _PadLayout) -> _PallasPre:
+                layout: _PadLayout, warmstart_positions=None) -> _PallasPre:
     """Per-scenario setup for the fused Pallas path: the equilibrated system
     assembled directly in the kernel's padded component-plane layout (no
     unpadded G, no big repacks)."""
     dtype = jnp.result_type(d_fixed, times)
     dim = structure.dimension
     p_eq, q_eq, d_scale, x_init = _objective_blocks(
-        structure, d_fixed, times, config, x0, dtype)
+        structure, d_fixed, times, config, x0, dtype,
+        warmstart_positions=warmstart_positions)
     gt, b_pad, rb, sb, sh = _padded_constraint_system(
         structure, times, d_fixed, waypoints, radii, d_scale, layout,
         config.rho_sphere_factor, config.rho_tube_factor,
@@ -862,11 +902,15 @@ def solve_qcqp_batch(structure: ProblemStructure,
 
     def block(df, t, w, r, xx=None, wv=None):
         if wv is not None:
+            # Position-constrained warm start computed ON the free-structure
+            # R blocks (_objective_blocks): no second (standard-structure) R
+            # assembly.  Interior positions come from the vertex values;
+            # start/goal derivatives from d_fixed (callers pass consistent
+            # values, as the reference's init path assumes).
             def pre_one(a1, a2, a3, a4, a5):
-                ws = position_constrained_warmstart(structure, a5, a2,
-                                                    method="schur")
-                return _pallas_pre(structure, a1, a2, a3, a4, config, ws,
-                                   layout)
+                return _pallas_pre(structure, a1, a2, a3, a4, config, None,
+                                   layout,
+                                   warmstart_positions=a5[1:-1, 0, :])
             pre = jax.vmap(pre_one)(df, t, w, r, wv)
         elif xx is None:
             pre = jax.vmap(lambda a1, a2, a3, a4: _pallas_pre(

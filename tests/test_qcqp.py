@@ -314,6 +314,23 @@ def test_admm_pallas_interpret_matches_xla():
                                rtol=1e-2, atol=1e-3)
 
 
+def test_padded_assembly_two_traces_one_process():
+    """Two DIFFERENT jit programs touching the padded-assembly gather maps
+    must not leak the first trace's constants into the second (regression:
+    _GATHER_MAP_CACHE held jnp arrays materialized inside the first trace ->
+    UnexpectedTracerError on any second program in the same process)."""
+    structure, d_fixed, times, waypoints, _ = make_problem(k=4, seed=3)
+    radii = jnp.full((structure.n_segments, 2), 0.6)
+    d32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+    layout = qcqp._flagship_layout(structure)
+    d_scale = jnp.ones((structure.n_free,), jnp.float32)
+    for f_tube in (1.0, 0.5):   # distinct traces
+        out = jax.jit(lambda t: qcqp._padded_constraint_system(
+            structure, t, d32(d_fixed), d32(waypoints), d32(radii),
+            d_scale, layout, 1.0, f_tube, 1.0)[0])(d32(times))
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_solve_qcqp_batch_matches_per_scenario():
     """solve_qcqp_batch (S-blocked kernel, ragged padding) must reproduce
     the per-scenario vmap path bit-for-bit (same kernel math, interleaved)."""
