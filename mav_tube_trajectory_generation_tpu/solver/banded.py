@@ -111,7 +111,7 @@ def block_tridiag_solve(d_blocks: jnp.ndarray,
         stack.append((d_e_inv, u_even, u_odd, f_e))
         d, u, f = d_new, u_new, f_new
 
-    x = jnp.linalg.solve(d[0], f[0])[None]    # (1, b, R)
+    x = (linalg.spd_inverse_schur(d[0]) @ f[0])[None]    # (1, b, R)
 
     # Back substitution: recover the eliminated (even) blocks.
     for d_e_inv, u_even, u_odd, f_e in reversed(stack):
@@ -132,6 +132,83 @@ def block_tridiag_solve(d_blocks: jnp.ndarray,
         x = out
 
     return x[:m]
+
+
+def spd_block_tridiag_inverse(a: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """Dense inverse of a batched SPD BLOCK-TRIDIAGONAL matrix via a
+    sequential block-Thomas (LDL^T) sweep with an identity right-hand side.
+
+    Built for the QCQP's stage KKT (P + rho G^T G + sigma I): min-snap R_pp
+    and the tube/sphere/cap Gram both couple only ADJACENT interior
+    vertices, so the 135x135 flagship KKT is exactly block-tridiagonal with
+    (half_n * dim)=15-sized vertex blocks (verified off-band max 0.0).  The
+    dense recursive-Schur inverse spends ~41 ms/batch 6144 across ~2000
+    small XLA dispatches; this sweep is ~80 contiguous batched ops.
+
+    (Rejected alternative, do not retry blindly: routing this through
+    ``block_tridiag_solve`` -- cyclic reduction with the identity RHS --
+    benched 205 ms vs the dense tree's 142: the even/odd strided slices and
+    back-substitution scatters relayout the (b, n) RHS panels every level.
+    Thomas is sequential over m blocks but every op is contiguous, and at
+    batch 6144 the 9-step chain is fully amortized.)
+
+    Measured f32 residual on the real KKT (cond ~1.1e3): 4.7e-4, same order
+    as the dense Schur tree's 3.8e-4 (per-step Schur complements are
+    symmetrized -- the same load-bearing trick, see spd_inverse_schur).
+
+    Args:
+      a: (..., n, n) SPD, exactly block-tridiagonal with ``block_size``
+        blocks (off-band entries are IGNORED -- caller guarantees zero).
+    """
+    n = a.shape[-1]
+    bsz = block_size
+    m = n // bsz
+    if m * bsz != n:
+        raise ValueError(f"n={n} not a multiple of block_size={bsz}")
+    dblk = [a[..., i * bsz:(i + 1) * bsz, i * bsz:(i + 1) * bsz]
+            for i in range(m)]
+    ublk = [a[..., i * bsz:(i + 1) * bsz, (i + 1) * bsz:(i + 2) * bsz]
+            for i in range(m - 1)]
+    return spd_block_tridiag_inverse_blocks(dblk, ublk)
+
+
+def spd_block_tridiag_inverse_blocks(dblk, ublk) -> jnp.ndarray:
+    """Block-form entry point of ``spd_block_tridiag_inverse``: dense inverse
+    from the m diagonal blocks ``dblk`` and m-1 super-diagonal blocks
+    ``ublk`` (lists of (..., b, b), or stacked (..., m, b, b) arrays) --
+    for callers that assemble the band directly and never materialize the
+    dense matrix (the QCQP stage KKT)."""
+    if not isinstance(dblk, (list, tuple)):
+        dblk = [dblk[..., i, :, :] for i in range(dblk.shape[-3])]
+    if not isinstance(ublk, (list, tuple)):
+        ublk = [ublk[..., i, :, :] for i in range(ublk.shape[-3])]
+    m = len(dblk)
+    bsz = dblk[0].shape[-1]
+    n = m * bsz
+    a = dblk[0]
+    # Factor: A = (I+L) S (I+L)^T, L block-bidiagonal with T_i at (i, i-1).
+    s_inv = [linalg.spd_inverse_schur(dblk[0])]
+    t = [None]
+    for i in range(1, m):
+        ti = jnp.swapaxes(ublk[i - 1], -1, -2) @ s_inv[i - 1]
+        s = dblk[i] - ti @ ublk[i - 1]
+        s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+        t.append(ti)
+        s_inv.append(linalg.spd_inverse_schur(s))
+    # Apply to I: forward (I+L) Y = I, diagonal Z = S^-1 Y, backward
+    # (I+L)^T X = Z.  Block rows of the identity are static constants.
+    eye = jnp.eye(n, dtype=a.dtype)
+    shape = a.shape[:-2]
+    y = [jnp.broadcast_to(eye[0:bsz], shape + (bsz, n))]
+    for i in range(1, m):
+        bi = jnp.broadcast_to(eye[i * bsz:(i + 1) * bsz], shape + (bsz, n))
+        y.append(bi - t[i] @ y[i - 1])
+    z = [s_inv[i] @ y[i] for i in range(m)]
+    x = [None] * m
+    x[m - 1] = z[m - 1]
+    for i in range(m - 2, -1, -1):
+        x[i] = z[i] - jnp.swapaxes(t[i + 1], -1, -2) @ x[i + 1]
+    return jnp.concatenate(x, axis=-2)
 
 
 @full_matmul_precision

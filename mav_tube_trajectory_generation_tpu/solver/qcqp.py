@@ -483,8 +483,30 @@ def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
     return x_fin, z_fin, u_fin, rho, prim_res, dual_res
 
 
+def _kkt_tridiag_block(structure: ProblemStructure):
+    """Block size of the stage KKT's block-tridiagonal structure, or None.
+
+    The KKT = kron(R_pp, I_D) + rho G^T G + sigma I is EXACTLY
+    block-tridiagonal in vertex-major free-column order: min-snap R_pp
+    couples only vertices sharing a segment, and every tube/sphere/end-cap
+    constraint row's support is one segment's two endpoint vertices
+    (verified numerically: off-band max 0.0 on the flagship KKT).  Applies
+    when interior vertices share one free-derivative pattern and free
+    columns are vertex-major."""
+    from . import banded
+    fi = banded.uniform_interior_pattern(structure)
+    if fi is None or structure.n_vertices < 4:
+        return None
+    expect = [(v, int(d)) for v in range(1, structure.n_vertices - 1)
+              for d in fi]
+    if [tuple(map(int, c)) for c in structure.free_cols] != expect:
+        return None
+    return len(fi) * structure.dimension
+
+
 def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
-                       q_flat, x_flat0, nfd, out_dtype, gtg=None):
+                       q_flat, x_flat0, nfd, out_dtype, gtg=None,
+                       kkt_block=None):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
     ALL array arguments carry a leading scenario-block axis S: one kernel
@@ -519,18 +541,31 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
 
     gt = gt.astype(f32)
     if gtg is None:
-        # (Rejected: a dedicated Pallas Gram kernel -- one VMEM pass, plain
-        # MXU dots -- benched 143.7 -> 166.7 ms/batch.  XLA's kOutput fusion
-        # reads the assembly fusion's native layout directly; the kernel
-        # boundary forces standard-layout copies of gt on both sides that
-        # cost more than the fusion's MXU inefficiency.)
+        # The FULL dense Gram, even though the structured inverse below only
+        # reads its band.  (Rejected alternatives, both slower: a dedicated
+        # Pallas Gram kernel -- 143.7 -> 166.7 ms, the kernel boundary
+        # forces standard-layout copies of gt on both sides; band-only Gram
+        # via two (S, m, blk, m_p) einsums + direct band KKT assembly --
+        # 126.6 -> 139.0 ms, the tiny (15, 512)@(512, 15) batched
+        # contractions are MXU-latency-bound and their layouts cascade
+        # copies, the same failure mode as the compact-family-factors
+        # experiment in _padded_constraint_system.)
         gtg = gt @ jnp.swapaxes(gt, -1, -2)               # (S, nfd, nfd)
     gtg = gtg.astype(f32)
     x = x_flat0.astype(f32)[:, :, None]                   # (S, nfd, 1)
     z = u = None   # stage 0 initializes z/u from x inside the kernel
 
-    spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"
-               else linalg.spd_inverse)
+    if kkt_block is not None and config.kkt_inverse == "schur":
+        # Structured fast path: the KKT kron(R_pp, I3) + rho G^T G + sigma I
+        # is EXACTLY block-tridiagonal in vertex blocks (_kkt_tridiag_block);
+        # the block-Thomas sweep (~80 contiguous batched ops,
+        # banded.spd_block_tridiag_inverse) replaces the ~2000-dispatch
+        # dense Schur tree: 142.6 -> 126.6 ms/batch 6144.
+        from . import banded
+        spd_inv = lambda m: banded.spd_block_tridiag_inverse(m, kkt_block)
+    else:
+        spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"
+                   else linalg.spd_inverse)
     rho = jnp.full((s, 1, 1), config.rho, f32)
     prim_res = jnp.full((s,), jnp.inf, f32)
     dual_res = jnp.full((s,), jnp.inf, f32)
@@ -744,7 +779,7 @@ def solve_qcqp(structure: ProblemStructure,
             jax.tree.map(lambda a: a[0], _run_stages_pallas(
                 config, pre.gt[None], pre.b_pad[None], pre.rb[None], layout,
                 pre.p_big[None], pre.q_flat[None], pre.x_flat0[None],
-                nfd, dtype)))
+                nfd, dtype, kkt_block=_kkt_tridiag_block(structure))))
         return _pallas_post(structure, config, d_fixed, times, pre,
                             x_fin, u_fin, y_fin, rho, prim_res, dual_res,
                             dtype)
@@ -887,6 +922,8 @@ def solve_qcqp_batch(structure: ProblemStructure,
     dtype = jnp.result_type(d_fixed, times)
     layout = _flagship_layout(structure)
 
+    kkt_block = _kkt_tridiag_block(structure)
+
     def pad(a):
         if a is None or b_pad == b:
             return a
@@ -921,7 +958,7 @@ def solve_qcqp_batch(structure: ProblemStructure,
                 df, t, w, r, xx)
         outs = _run_stages_pallas(
             config, pre.gt, pre.b_pad, pre.rb, layout, pre.p_big,
-            pre.q_flat, pre.x_flat0, nfd, dtype)
+            pre.q_flat, pre.x_flat0, nfd, dtype, kkt_block=kkt_block)
         return jax.vmap(lambda dfi, ti, prei, x, u, y, rho, pr, du:
                         _pallas_post(structure, config, dfi, ti, prei,
                                      x, u, y, rho, pr, du, dtype))(

@@ -96,3 +96,54 @@ def test_banded_vmap():
     ref = jax.vmap(lambda a, b: mtg.solve_linear(structure, a, b))(df, times)
     np.testing.assert_allclose(np.asarray(out.cost), np.asarray(ref.cost),
                                rtol=1e-8)
+
+
+def test_spd_block_tridiag_inverse_matches_dense():
+    """Block-Thomas inverse vs the dense Schur inverse on SPD
+    block-tridiagonal matrices (the QCQP stage-KKT structure)."""
+    from mav_tube_trajectory_generation_tpu.ops import linalg
+    rng = np.random.RandomState(0)
+    m, b = 9, 15
+    n = m * b
+    a = np.zeros((3, n, n))
+    for i in range(m):
+        q = rng.randn(3, b, b)
+        a[:, i*b:(i+1)*b, i*b:(i+1)*b] = q @ np.swapaxes(q, -1, -2) \
+            + 10 * np.eye(b)
+    for i in range(m - 1):
+        c = 0.5 * rng.randn(3, b, b)
+        a[:, i*b:(i+1)*b, (i+1)*b:(i+2)*b] = c
+        a[:, (i+1)*b:(i+2)*b, i*b:(i+1)*b] = np.swapaxes(c, -1, -2)
+    w = np.asarray(banded.spd_block_tridiag_inverse(jnp.asarray(a), b))
+    resid = a @ w - np.eye(n)
+    assert np.abs(resid).max() < 1e-10      # f64 under tests' x64 config
+    dense = np.asarray(linalg.spd_inverse_schur(jnp.asarray(a)))
+    np.testing.assert_allclose(w, dense, rtol=1e-7, atol=1e-9)
+
+
+def test_qcqp_kkt_is_block_tridiagonal():
+    """The structured KKT-inverse fast path's load-bearing assumption:
+    kron(R_pp, I3) + rho G^T G is EXACTLY block-tridiagonal in vertex-major
+    free-column order for the free-interior family."""
+    from mav_tube_trajectory_generation_tpu.solver import qcqp, linear
+    k = 6
+    free = sm.make_structure(sm.free_interior_mask(k + 1, N), 3, N)
+    blk = qcqp._kkt_tridiag_block(free)
+    assert blk == 3 * H
+    rng = np.random.RandomState(1)
+    wp = np.cumsum(rng.uniform(0.5, 2.0, size=(k + 1, 3)), axis=0)
+    vals = np.zeros((k + 1, H, 3)); vals[:, 0] = wp
+    times = jnp.asarray(mtg.segment_times_nfabian(wp[None], 3.0, 5.0))[0]
+    df = mtg.extract_fixed_values(free, jnp.asarray(vals))
+    layout = qcqp._flagship_layout(free)
+    cfg = qcqp.ADMMConfig(rho=0.01, use_pallas=True)
+    pre = qcqp._pallas_pre(free, df, times, jnp.asarray(wp),
+                           jnp.full((k, 2), 0.7), cfg, None, layout)
+    gt = np.asarray(pre.gt, np.float64)
+    kkt = np.asarray(pre.p_big, np.float64) + 0.01 * (gt @ gt.T)
+    m = kkt.shape[0] // blk
+    for i in range(m):
+        for j in range(m):
+            if abs(i - j) > 1:
+                blkij = kkt[i*blk:(i+1)*blk, j*blk:(j+1)*blk]
+                assert np.abs(blkij).max() == 0.0, (i, j)
