@@ -506,7 +506,7 @@ def _kkt_tridiag_block(structure: ProblemStructure):
 
 def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
                        q_flat, x_flat0, nfd, out_dtype, gtg=None,
-                       kkt_block=None):
+                       kkt_block=None, p_eq=None):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
     ALL array arguments carry a leading scenario-block axis S: one kernel
@@ -555,14 +555,36 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
     x = x_flat0.astype(f32)[:, :, None]                   # (S, nfd, 1)
     z = u = None   # stage 0 initializes z/u from x inside the kernel
 
-    if kkt_block is not None and config.kkt_inverse == "schur":
+    banded_kkt = kkt_block is not None and config.kkt_inverse == "schur" \
+        and p_eq is not None
+    if banded_kkt:
         # Structured fast path: the KKT kron(R_pp, I3) + rho G^T G + sigma I
         # is EXACTLY block-tridiagonal in vertex blocks (_kkt_tridiag_block);
         # the block-Thomas sweep (~80 contiguous batched ops,
-        # banded.spd_block_tridiag_inverse) replaces the ~2000-dispatch
-        # dense Schur tree: 142.6 -> 126.6 ms/batch 6144.
+        # banded.spd_block_tridiag_inverse_blocks) replaces the
+        # ~2000-dispatch dense Schur tree: 142.6 -> 126.6 ms/batch 6144.
+        # Only the BAND of the KKT is assembled: the diagonal/super blocks
+        # come from slices of the (still dense -- see the Gram note above)
+        # gtg plus small krons of p_eq's 5x5 vertex blocks; the dense
+        # p_big / kkt tensors are never materialized on this path.
         from . import banded
-        spd_inv = lambda m: banded.spd_block_tridiag_inverse(m, kkt_block)
+        blk = kkt_block
+        m_blk = nfd // blk
+        dim = blk * m_blk // p_eq.shape[-1]
+        bp = blk // dim                                    # p_eq block (5)
+        eye_d = jnp.eye(dim, dtype=f32)
+        pe = p_eq.astype(f32).reshape(s, m_blk, bp, m_blk, bp)
+        pe_d = jnp.stack([pe[:, i, :, i, :] for i in range(m_blk)], axis=1)
+        pe_u = jnp.stack([pe[:, i, :, i + 1, :] for i in range(m_blk - 1)],
+                         axis=1)
+        kron = lambda a: jnp.einsum('smab,cd->smacbd', a, eye_d).reshape(
+            s, a.shape[1], blk, blk)
+        pb_d, pb_u = kron(pe_d), kron(pe_u)
+        g5 = gtg.reshape(s, m_blk, blk, m_blk, blk)
+        gd = jnp.stack([g5[:, i, :, i, :] for i in range(m_blk)], axis=1)
+        gu = jnp.stack([g5[:, i, :, i + 1, :] for i in range(m_blk - 1)],
+                       axis=1)
+        eye_b = jnp.eye(blk, dtype=f32)
     else:
         spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"
                    else linalg.spd_inverse)
@@ -571,9 +593,16 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
     dual_res = jnp.full((s,), jnp.inf, f32)
     y = None
     for stage in range(config.n_stages):
-        kkt = (p_big + rho * gtg
-               + config.sigma * jnp.eye(nfd, dtype=f32)).astype(f32)
-        w_inv = spd_inv(kkt)                               # (S, nfd, nfd)
+        if banded_kkt:
+            rho_b = rho[:, None, :, :]                     # (S, 1, 1, 1)
+            from . import banded
+            w_inv = banded.spd_block_tridiag_inverse_blocks(
+                pb_d + rho_b * gd + config.sigma * eye_b,
+                pb_u + rho_b * gu)
+        else:
+            kkt = (p_big + rho * gtg
+                   + config.sigma * jnp.eye(nfd, dtype=f32)).astype(f32)
+            w_inv = spd_inv(kkt)                           # (S, nfd, nfd)
         xq = -(w_inv @ q_flat.astype(f32)[:, :, None])     # (S, nfd, 1)
         # Fused kernel: m1 = w_inv @ G^T formed on-MXU in VMEM; z/u init,
         # final y, and the dual matvec all happen in-kernel so G^T makes one
@@ -614,7 +643,8 @@ class _PallasPre(NamedTuple):
     rb: jnp.ndarray           # (n_ball,) scaled radii
     sb: jnp.ndarray           # (n_ball,)
     sh: jnp.ndarray           # (n_half,)
-    p_big: jnp.ndarray        # (nfd, nfd)
+    p_big: jnp.ndarray        # (nfd, nfd) kron(p_eq, I_D) -- dense fallback
+    p_eq: jnp.ndarray         # (n_free, n_free) equilibrated R_pp
     q_flat: jnp.ndarray       # (nfd,)
     x_flat0: jnp.ndarray      # (nfd,)
     d_scale: jnp.ndarray      # (n_free,)
@@ -698,7 +728,7 @@ def _pallas_pre(structure: ProblemStructure, d_fixed, times, waypoints,
         config.rho_half_factor)
     return _PallasPre(
         gt=gt, b_pad=b_pad, rb=rb, sb=sb, sh=sh,
-        p_big=jnp.kron(p_eq, jnp.eye(dim, dtype=dtype)),
+        p_big=jnp.kron(p_eq, jnp.eye(dim, dtype=dtype)), p_eq=p_eq,
         q_flat=q_eq.reshape(-1), x_flat0=x_init.reshape(-1),
         d_scale=d_scale)
 
@@ -779,7 +809,8 @@ def solve_qcqp(structure: ProblemStructure,
             jax.tree.map(lambda a: a[0], _run_stages_pallas(
                 config, pre.gt[None], pre.b_pad[None], pre.rb[None], layout,
                 pre.p_big[None], pre.q_flat[None], pre.x_flat0[None],
-                nfd, dtype, kkt_block=_kkt_tridiag_block(structure))))
+                nfd, dtype, kkt_block=_kkt_tridiag_block(structure),
+                p_eq=pre.p_eq[None])))
         return _pallas_post(structure, config, d_fixed, times, pre,
                             x_fin, u_fin, y_fin, rho, prim_res, dual_res,
                             dtype)
@@ -958,7 +989,8 @@ def solve_qcqp_batch(structure: ProblemStructure,
                 df, t, w, r, xx)
         outs = _run_stages_pallas(
             config, pre.gt, pre.b_pad, pre.rb, layout, pre.p_big,
-            pre.q_flat, pre.x_flat0, nfd, dtype, kkt_block=kkt_block)
+            pre.q_flat, pre.x_flat0, nfd, dtype, kkt_block=kkt_block,
+            p_eq=pre.p_eq)
         return jax.vmap(lambda dfi, ti, prei, x, u, y, rho, pr, du:
                         _pallas_post(structure, config, dfi, ti, prei,
                                      x, u, y, rho, pr, du, dtype))(
