@@ -134,6 +134,26 @@ def block_tridiag_solve(d_blocks: jnp.ndarray,
     return x[:m]
 
 
+def kkt_tridiag_block(structure: ProblemStructure):
+    """Block size of the tube-QCQP KKT/Hessian's block-tridiagonal structure
+    (in vertex-major free-column order), or None if it does not apply.
+
+    kron(R_pp, I_D) + (constraint Gram) is EXACTLY block-tridiagonal:
+    min-snap R_pp couples only vertices sharing a segment, and every
+    tube/sphere/end-cap constraint row's support is one segment's two
+    endpoint vertices (pinned by tests/test_banded.py).  Requires interior
+    vertices sharing one free-derivative pattern and vertex-major columns.
+    """
+    fi = uniform_interior_pattern(structure)
+    if fi is None or structure.n_vertices < 4:
+        return None
+    expect = [(v, int(d)) for v in range(1, structure.n_vertices - 1)
+              for d in fi]
+    if [tuple(map(int, c)) for c in structure.free_cols] != expect:
+        return None
+    return len(fi) * structure.dimension
+
+
 def spd_block_tridiag_inverse(a: jnp.ndarray, block_size: int) -> jnp.ndarray:
     """Dense inverse of a batched SPD BLOCK-TRIDIAGONAL matrix via a
     sequential block-Thomas (LDL^T) sweep with an identity right-hand side.

@@ -124,6 +124,16 @@ def solve_qcqp_ipm(structure: ProblemStructure,
 
     spd_inv = (linalg.spd_inverse_schur if config.hess_inverse == "schur"
                else lambda m: linalg.spd_inverse(m, newton_steps=0))
+    # The Newton Hessian p_big + a_w^T a_w + reg I shares the stage-KKT's
+    # EXACT block-tridiagonal structure (banded.kkt_tridiag_block): every
+    # constraint row's support is one segment's two endpoint vertices.  The
+    # block-Thomas inverse replaces the dense Schur tree in all
+    # config.max_iters Newton steps.
+    from . import banded
+    _blk = (banded.kkt_tridiag_block(structure)
+            if config.hess_inverse == "schur" else None)
+    hess_inv = ((lambda m: banded.spd_block_tridiag_inverse(m, _blk))
+                if _blk is not None else spd_inv)
 
     if x0 is None:
         x_init = -(spd_inv(
@@ -173,7 +183,7 @@ def solve_qcqp_ipm(structure: ProblemStructure,
         ], axis=0)
         h = p_big + a_w.T @ a_w + config.reg * jnp.eye(nfd, dtype=dtype)
         # Inexact Newton tolerates a polish-free inverse (saves 2 matmuls).
-        h_inv = spd_inv(h)
+        h_inv = hess_inv(h)
 
         grad_f = p_big @ x + q_eq
         r1 = grad_f + jmat.T @ lam

@@ -484,24 +484,9 @@ def _run_stages_xla(config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
 
 
 def _kkt_tridiag_block(structure: ProblemStructure):
-    """Block size of the stage KKT's block-tridiagonal structure, or None.
-
-    The KKT = kron(R_pp, I_D) + rho G^T G + sigma I is EXACTLY
-    block-tridiagonal in vertex-major free-column order: min-snap R_pp
-    couples only vertices sharing a segment, and every tube/sphere/end-cap
-    constraint row's support is one segment's two endpoint vertices
-    (verified numerically: off-band max 0.0 on the flagship KKT).  Applies
-    when interior vertices share one free-derivative pattern and free
-    columns are vertex-major."""
+    """See banded.kkt_tridiag_block (moved there; kept as an alias)."""
     from . import banded
-    fi = banded.uniform_interior_pattern(structure)
-    if fi is None or structure.n_vertices < 4:
-        return None
-    expect = [(v, int(d)) for v in range(1, structure.n_vertices - 1)
-              for d in fi]
-    if [tuple(map(int, c)) for c in structure.free_cols] != expect:
-        return None
-    return len(fi) * structure.dimension
+    return banded.kkt_tridiag_block(structure)
 
 
 def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
