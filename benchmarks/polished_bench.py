@@ -38,7 +38,11 @@ def main():
     admm = qcqp.ADMMConfig(rho=0.005, n_stages=1, n_iters=48,
                            rho_tube_factor=0.125, rho_half_factor=0.125,
                            use_pallas=True)
-    ipm_cfg = ipm.IPMConfig(n_iters=12)
+    n_ipm = 10
+    for a in sys.argv:
+        if a.startswith("--ipm-iters="):
+            n_ipm = int(a.split("=")[1])
+    ipm_cfg = ipm.IPMConfig(n_iters=n_ipm)
 
     def full_solve(df_std_b, df_free_b, times_b, waypoints_b, radii_b):
         def warm(df_s, t):
@@ -49,9 +53,14 @@ def main():
         a = qcqp.solve_qcqp_batch(free, df_free_b, times_b, waypoints_b,
                                   radii_b, config=admm, x0=x0,
                                   scenario_block=4)
-        pol = jax.vmap(lambda d1, d2, d3, d4, d5: ipm.solve_qcqp_ipm(
-            free, d1, d2, d3, d4, config=ipm_cfg, x0=d5))(
-            df_free_b, times_b, waypoints_b, radii_b, a.d_free)
+        # Primal AND dual warm start from an interior-inflated slack point
+        # (IPMConfig.warm_s_min): 10 Newton steps reach the exact optimum
+        # with ~1e-6 max violation (f64; see the warm-start notes in ipm.py).
+        pol = jax.vmap(lambda d1, d2, d3, d4, d5, d6, d7: ipm.solve_qcqp_ipm(
+            free, d1, d2, d3, d4, config=ipm_cfg, x0=d5,
+            lam0_ball=d6, lam0_half=d7))(
+            df_free_b, times_b, waypoints_b, radii_b, a.d_free,
+            a.dual_ball, a.dual_half)
         return pol.cost, pol.max_violation, a.cost
 
     f = jax.jit(full_solve)

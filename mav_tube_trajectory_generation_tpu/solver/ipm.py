@@ -56,6 +56,21 @@ class IPMConfig:
     lam_init: float = 1.0       # initial multiplier
     eps_feas: float = 1e-6      # convergence thresholds for status output
     eps_mu: float = 1e-8
+    # Dual warm start (lam0_ball/lam0_half given).  warm_s_min INFLATES the
+    # start into the interior: measured on the flagship family, hugging the
+    # boundary (warm_s_min 1e-3) stalls the fraction-to-boundary steps no
+    # matter how the duals are centered (max violation ~5e-3 at 8 steps),
+    # while an interior start that keeps only the duals' SCALE converges to
+    # the exact optimum with max violation ~2e-6 in 10 steps -- strictly
+    # better than a primal-only warm start (feasible but +0.04% cost) AND
+    # than boundary-hugging dual starts.
+    warm_s_min: float = 1.0
+    warm_lam_min: float = 1e-5
+    # Central-path re-centering of the warm duals (see solve_qcqp_ipm):
+    # products s_i lam_i are clipped into [mu0/beta, beta*mu0] with
+    # mu0 = warm_mu_boost * mean(s lam).
+    warm_beta: float = 10.0
+    warm_mu_boost: float = 1.0
     # Hessian inverse backend: "schur" (matmul-only recursive block Schur,
     # no Cholesky custom call) or "cholesky".  Both are explicit inverses
     # with the same cond*eps forward-error class; schur avoids the custom
@@ -71,11 +86,18 @@ def solve_qcqp_ipm(structure: ProblemStructure,
                    waypoints: jnp.ndarray,
                    radii: jnp.ndarray,
                    config: IPMConfig = IPMConfig(),
-                   x0: Optional[jnp.ndarray] = None) -> QCQPSolution:
+                   x0: Optional[jnp.ndarray] = None,
+                   lam0_ball: Optional[jnp.ndarray] = None,
+                   lam0_half: Optional[jnp.ndarray] = None) -> QCQPSolution:
     """Interior-point solve of one tube-QCQP scenario (vmap for batches).
 
     Same inputs/outputs as solver.qcqp.solve_qcqp; `converged` reflects
     mu < eps_mu and primal feasibility < eps_feas.
+
+    ``lam0_ball`` (n_ball, 3) / ``lam0_half`` (n_half,): dual warm start in
+    the QCQPSolution.dual_ball/dual_half convention (e.g. straight from an
+    ADMM solve).  With both x0 and duals given the IPM starts next to the
+    central path and typically needs ~half the Newton steps of a cold start.
     """
     dtype = jnp.result_type(d_fixed, times)
     d_fixed = jnp.asarray(d_fixed, dtype)
@@ -120,20 +142,42 @@ def solve_qcqp_ipm(structure: ProblemStructure,
     gb_rows = gb.reshape(n_ball, 3, nfd)                  # (n_ball, 3, nfd)
     gb_flat = gb_rows.reshape(n_ball * 3, nfd)
     gh_flat = gh.reshape(n_half, nfd)
-    p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
 
     spd_inv = (linalg.spd_inverse_schur if config.hess_inverse == "schur"
                else lambda m: linalg.spd_inverse(m, newton_steps=0))
     # The Newton Hessian p_big + a_w^T a_w + reg I shares the stage-KKT's
     # EXACT block-tridiagonal structure (banded.kkt_tridiag_block): every
-    # constraint row's support is one segment's two endpoint vertices.  The
-    # block-Thomas inverse replaces the dense Schur tree in all
-    # config.max_iters Newton steps.
+    # constraint row's support is one segment's two endpoint vertices.
+    # Per Newton step only the BAND of the Hessian is assembled (diag/super
+    # block slices of the dense weighted Gram + krons of p_eq's vertex
+    # blocks) and the direction comes from a block-Thomas factor + two
+    # single-column solves -- the full-inverse path spends ~3x the
+    # factorization cost on (b, nfd) identity panels the two Newton matvecs
+    # never need, and the dense p_big/h tensors are never materialized.
     from . import banded
     _blk = (banded.kkt_tridiag_block(structure)
             if config.hess_inverse == "schur" else None)
-    hess_inv = ((lambda m: banded.spd_block_tridiag_inverse(m, _blk))
-                if _blk is not None else spd_inv)
+    if _blk is not None:
+        m_blk = nfd // _blk
+        bp = _blk // dim
+        eye_d = jnp.eye(dim, dtype=dtype)
+        eye_b = jnp.eye(_blk, dtype=dtype)
+
+        def kron_e(a):
+            return jnp.einsum('ab,cd->acbd', a, eye_d).reshape(
+                a.shape[0] * dim, a.shape[1] * dim)
+
+        pe_d = [kron_e(p_eq[i * bp:(i + 1) * bp, i * bp:(i + 1) * bp])
+                for i in range(m_blk)]
+        pe_u = [kron_e(p_eq[i * bp:(i + 1) * bp, (i + 1) * bp:(i + 2) * bp])
+                for i in range(m_blk - 1)]
+        p_big = None
+    else:
+        p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
+
+    def p_big_matvec(x):
+        # kron(p_eq, I_dim) @ x without the dense kron: (p_eq @ X) row-major.
+        return (p_eq @ x.reshape(n_free, dim)).reshape(nfd)
 
     if x0 is None:
         x_init = -(spd_inv(
@@ -181,18 +225,39 @@ def solve_qcqp_ipm(structure: ProblemStructure,
             gb_flat * jnp.sqrt(lam_b3)[:, None],
             jmat * jnp.sqrt(w)[:, None],
         ], axis=0)
-        h = p_big + a_w.T @ a_w + config.reg * jnp.eye(nfd, dtype=dtype)
-        # Inexact Newton tolerates a polish-free inverse (saves 2 matmuls).
-        h_inv = hess_inv(h)
+        gram = a_w.T @ a_w                                # (nfd, nfd) dense
+        # (The dense Gram stays even on the banded path: band-only Gram via
+        # per-block contractions is MXU-latency-bound -- same rejected
+        # experiment as the ADMM stage KKT, docs/PERF.md.)
+        if _blk is not None:
+            hd = [pe_d[i] + gram[i * _blk:(i + 1) * _blk,
+                                 i * _blk:(i + 1) * _blk] + config.reg * eye_b
+                  for i in range(m_blk)]
+            hu = [pe_u[i] + gram[i * _blk:(i + 1) * _blk,
+                                 (i + 1) * _blk:(i + 2) * _blk]
+                  for i in range(m_blk - 1)]
+            s_inv_f, t_f = banded.spd_block_tridiag_factor(hd, hu)
 
-        grad_f = p_big @ x + q_eq
+            def solve_h(rhs):
+                return banded.spd_block_tridiag_solve_factored(
+                    s_inv_f, t_f, rhs[:, None])[:, 0]
+        else:
+            h = (p_big + gram
+                 + config.reg * jnp.eye(nfd, dtype=dtype))
+            # Inexact Newton tolerates a polish-free inverse.
+            h_inv = spd_inv(h)
+
+            def solve_h(rhs):
+                return h_inv @ rhs
+
+        grad_f = p_big_matvec(x) + q_eq
         r1 = grad_f + jmat.T @ lam
         r2 = c + s
 
         def direction(sigma_mu):
             # Reduced rhs: -(r1 + J^T (w r2 - lam + sigma_mu / s)).
             rhs = -(r1 + jmat.T @ (w * r2 - lam + sigma_mu / s))
-            dx = h_inv @ rhs
+            dx = solve_h(rhs)
             ds = -r2 - jmat @ dx
             dlam = (sigma_mu - lam * s) / s - w * ds
             return dx, ds, dlam
@@ -219,9 +284,35 @@ def solve_qcqp_ipm(structure: ProblemStructure,
         return (x_new, s_new, lam_new, best_x, best_merit), (
             jnp.max(jnp.abs(r2)), mu)
 
-    c0, _ = constraint_values(x_flat0)
-    s0 = jnp.maximum(-c0, config.s_init)
-    lam0 = jnp.full((mc,), config.lam_init, dtype)
+    if (lam0_ball is None) != (lam0_half is None):
+        raise ValueError("pass lam0_ball and lam0_half together")
+    c0, yb0 = constraint_values(x_flat0)
+    if lam0_ball is not None:
+        # Invert the QCQPSolution dual convention (dual_ball = 2 sb lam y
+        # with y the SCALED residual; dual_half = 2 sh lam): the IPM's own
+        # row scales sb/sh may differ from the producer's (per-family
+        # penalty factors), but the originals cancel in the original-space
+        # stationarity both solvers share.
+        nrm_y0 = jnp.linalg.norm(yb0, axis=1)
+        lam_b = (jnp.linalg.norm(jnp.asarray(lam0_ball, dtype), axis=-1)
+                 / jnp.maximum(2.0 * sb * nrm_y0, 1e-12))
+        lam_h = jnp.asarray(lam0_half, dtype) / (2.0 * sh)
+        lam_est = jnp.clip(jnp.concatenate([lam_b, lam_h]),
+                           config.warm_lam_min, 1e8)
+        s0 = jnp.maximum(-c0, config.warm_s_min)
+        # Re-center onto the central path (Gondzio-style warm-start shift):
+        # raw first-order duals leave s_i lam_i spread over ~10 decades, and
+        # rows with near-zero complementarity stall the fraction-to-boundary
+        # steps (measured: p99 violation 2.4e-3 at 12 steps vs 3.1e-5 from a
+        # cold start).  Clip every product into [mu0/beta, beta*mu0] around
+        # the point's average complementarity.
+        beta = config.warm_beta
+        mu0 = jnp.maximum(
+            config.warm_mu_boost * jnp.sum(s0 * lam_est) / mc, 1e-10)
+        lam0 = jnp.clip(lam_est, mu0 / (beta * s0), beta * mu0 / s0)
+    else:
+        s0 = jnp.maximum(-c0, config.s_init)
+        lam0 = jnp.full((mc,), config.lam_init, dtype)
     carry0 = (x_flat0, s0, lam0, x_flat0,
               jnp.asarray(jnp.inf, dtype))
     (x_last, s_fin, lam_fin, x_fin, best_merit), (feas_hist, mu_hist) = \
@@ -267,8 +358,11 @@ def solve_qcqp_polished(structure: ProblemStructure,
     """Throughput + accuracy hybrid: ADMM to the 1e-3 neighborhood, then a
     short interior-point polish to ~1e-9 violations and the exact optimum.
 
-    From the ADMM iterate the IPM typically converges in ~10 Newton steps
-    (cost examples: k=8 fixture 0.1009 -> 0.0900 true optimum).  This is the
+    The ADMM iterate warm-starts the IPM's primal AND duals (the scaled
+    ADMM multipliers in QCQPSolution.dual_ball/dual_half, re-centered onto
+    the central path from an interior-inflated slack point -- see
+    IPMConfig.warm_s_min): 10 Newton steps reach the exact optimum with
+    ~1e-6 max violation where a cold start needs ~25.  This is the
     recommended path when Mosek-grade output matters but the full IPM from
     cold start is too slow.
     """
@@ -279,8 +373,10 @@ def solve_qcqp_polished(structure: ProblemStructure,
                                           rho_tube_factor=0.125,
                                           rho_half_factor=0.125)
     if ipm_config is None:
-        ipm_config = IPMConfig(n_iters=12)
+        ipm_config = IPMConfig(n_iters=10)
     admm_sol = qcqp_mod.solve_qcqp(structure, d_fixed, times, waypoints,
                                    radii, config=admm_config, x0=x0)
     return solve_qcqp_ipm(structure, d_fixed, times, waypoints, radii,
-                          config=ipm_config, x0=admm_sol.d_free)
+                          config=ipm_config, x0=admm_sol.d_free,
+                          lam0_ball=admm_sol.dual_ball,
+                          lam0_half=admm_sol.dual_half)

@@ -121,6 +121,33 @@ def test_spd_block_tridiag_inverse_matches_dense():
     np.testing.assert_allclose(w, dense, rtol=1e-7, atol=1e-9)
 
 
+def test_spd_block_tridiag_factor_solve():
+    """Factor + single-rhs solve (the IPM Newton path) vs the full inverse."""
+    rng = np.random.RandomState(2)
+    m, b = 9, 15
+    n = m * b
+    a = np.zeros((2, n, n))
+    for i in range(m):
+        q = rng.randn(2, b, b)
+        a[:, i*b:(i+1)*b, i*b:(i+1)*b] = q @ np.swapaxes(q, -1, -2) \
+            + 10 * np.eye(b)
+    for i in range(m - 1):
+        c = 0.5 * rng.randn(2, b, b)
+        a[:, i*b:(i+1)*b, (i+1)*b:(i+2)*b] = c
+        a[:, (i+1)*b:(i+2)*b, i*b:(i+1)*b] = np.swapaxes(c, -1, -2)
+    dblk = jnp.asarray(np.stack(
+        [a[:, i*b:(i+1)*b, i*b:(i+1)*b] for i in range(m)], axis=1))
+    ublk = jnp.asarray(np.stack(
+        [a[:, i*b:(i+1)*b, (i+1)*b:(i+2)*b] for i in range(m - 1)], axis=1))
+    rhs = jnp.asarray(rng.randn(2, n, 3))
+    s_inv, t = banded.spd_block_tridiag_factor(dblk, ublk)
+    x = np.asarray(banded.spd_block_tridiag_solve_factored(s_inv, t, rhs))
+    resid = a @ x - np.asarray(rhs)
+    assert np.abs(resid).max() < 1e-9
+    w = np.asarray(banded.spd_block_tridiag_inverse(jnp.asarray(a), b))
+    np.testing.assert_allclose(x, w @ np.asarray(rhs), rtol=1e-7, atol=1e-9)
+
+
 def test_qcqp_kkt_is_block_tridiagonal():
     """The structured KKT-inverse fast path's load-bearing assumption:
     kron(R_pp, I3) + rho G^T G is EXACTLY block-tridiagonal in vertex-major
