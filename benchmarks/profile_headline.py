@@ -61,6 +61,7 @@ def main():
     dev_pids = sorted(p for p, n in pnames.items()
                       if "TPU" in n or "/device:" in n or "Chip" in n)
     by_op = collections.defaultdict(float)
+    long_names = {}
     seen_pid = set()
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -77,12 +78,17 @@ def main():
         if cat:
             label = f"{label} [{cat}]"
         by_op[label] += e["dur"]
+        if long and label not in long_names:
+            long_names[label] = long
         seen_pid.add(name)
     total = sum(by_op.values())
     print(f"# device processes: {sorted(seen_pid)}")
     print(f"# total device-time (2 runs, all lanes): {total/1e3:.1f} ms")
     for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{v/2e3:9.2f} ms  {k}")
+        ln = long_names.get(k, "")
+        if ln:
+            print(f"              {ln[:600]}")
 
 
 if __name__ == "__main__":

@@ -95,35 +95,12 @@ def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
     prim_out[:] = prim
 
 
-def _kernel_fused(rho_ref, winv_ref, gt_ref, b_ref, rb_ref, xq_ref,
-                  x0_ref, z0_ref, u0_ref,
-                  x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
-                  *, n_iters: int, alpha: float, nb_p: int, n_ball: int,
-                  init_z: bool):
-    """Fused ADMM stage: forms m1 = W^{-1} G^T on the MXU in VMEM, runs the
-    iteration chain, and emits the final y = G x + b and the dual-residual
-    matvec -- so the (S, nfd, m_p) G^T tensor makes ONE HBM round trip per
-    stage instead of five (m1 formation, z0 init, iterations, final y, dual
-    residual each re-streamed it in the XLA formulation; ~1.7 GB each at the
-    flagship batch).
-
-    init_z: stage-0 entry -- z/u are initialized from the warm start x0
-    (z = project(G x0 + b), u = 0) instead of carried in.
-    """
-    rho = rho_ref[:]                      # (S, 1, 1)
-    winv = winv_ref[:]                    # (S, nfd, nfd)
-    gt = gt_ref[:]                        # (S, nfd, m_p)
-    b = b_ref[:]                          # (S, 1, m_p)
-    rb = rb_ref[:]                        # (S, 1, nb_p)
-    xq = xq_ref[:]                        # (S, nfd, 1) column
-
-    s = gt.shape[0]
-    # m1[s] = winv[s] @ gt[s]: small per-scenario MXU matmuls (full f32).
-    m1 = jnp.stack([
-        jax.lax.dot(winv[i], gt[i],
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-        for i in range(s)], axis=0)       # (S, nfd, m_p)
+def _stage_core(rho, m1, gt, b, rb, xq, x0_ref, z0_ref, u0_ref,
+                x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
+                *, n_iters: int, alpha: float, nb_p: int, n_ball: int,
+                init_z: bool):
+    """Shared fused-stage body: iteration chain on a VMEM-resident m1/gt,
+    z/u warm-start init, final y = G x + b and the dual-residual matvec."""
 
     def project(w):
         wx = w[:, :, 0:nb_p]
@@ -176,6 +153,85 @@ def _kernel_fused(rho_ref, winv_ref, gt_ref, b_ref, rb_ref, xq_ref,
     y_out[:] = y
 
 
+def _sdot(a, b):
+    """Per-scenario full-f32 MXU dot of stacked (S, n, k) @ (S, k, m)."""
+    return jnp.stack([
+        jax.lax.dot(a[i], b[i], precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        for i in range(a.shape[0])], axis=0)
+
+
+def _kernel_fused(rho_ref, winv_ref, gt_ref, b_ref, rb_ref, xq_ref,
+                  x0_ref, z0_ref, u0_ref,
+                  x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
+                  *, n_iters: int, alpha: float, nb_p: int, n_ball: int,
+                  init_z: bool):
+    """Fused ADMM stage: forms m1 = W^{-1} G^T on the MXU in VMEM, runs the
+    iteration chain, and emits the final y = G x + b and the dual-residual
+    matvec -- so the (S, nfd, m_p) G^T tensor makes ONE HBM round trip per
+    stage instead of five (m1 formation, z0 init, iterations, final y, dual
+    residual each re-streamed it in the XLA formulation; ~1.7 GB each at the
+    flagship batch).
+
+    init_z: stage-0 entry -- z/u are initialized from the warm start x0
+    (z = project(G x0 + b), u = 0) instead of carried in.
+    """
+    gt = gt_ref[:]                        # (S, nfd, m_p)
+    # m1[s] = winv[s] @ gt[s]: small per-scenario MXU matmuls (full f32).
+    m1 = _sdot(winv_ref[:], gt)           # (S, nfd, m_p)
+    _stage_core(rho_ref[:], m1, gt, b_ref[:], rb_ref[:], xq_ref[:],
+                x0_ref, z0_ref, u0_ref,
+                x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
+                n_iters=n_iters, alpha=alpha, nb_p=nb_p, n_ball=n_ball,
+                init_z=init_z)
+
+
+def _kernel_fused_factored(rho_ref, sinv_ref, t_ref, tt_ref, gt_ref, b_ref,
+                           rb_ref, xq_ref, x0_ref, z0_ref, u0_ref,
+                           x_out, z_out, zp_out, u_out, prim_out, dual_out,
+                           y_out, *, n_iters: int, alpha: float, nb_p: int,
+                           n_ball: int, init_z: bool):
+    """Fused ADMM stage from the block-LDL^T KKT FACTORS: m1 = W^{-1} G^T is
+    computed in VMEM by the block-Thomas sweeps (banded.spd_block_tridiag_
+    factor's S_i^{-1}/T_i blocks) against the resident G^T -- the dense
+    (S, nfd, nfd) inverse is never materialized anywhere.  In the XLA
+    formulation, assembling that dense inverse from the tridiagonal factors
+    (identity-panel back-substitution + concatenate + kernel-layout copy) and
+    the xq matvec against it profiled ~19 ms/batch 6144 -- the single
+    largest non-kernel cost of the headline program.
+
+    sinv: (S, m, b, b) inverted pivot blocks; t/tt: (S, m-1, b, b) with
+    t[:, i-1] = T_i = U_{i-1}^T S_{i-1}^{-1} and tt its transpose (passed
+    separately -- transposing in-kernel costs a relayout).
+    """
+    gt = gt_ref[:]                        # (S, nfd, m_p)
+    sinv = sinv_ref[:]                    # (S, m, b, b)
+    t = t_ref[:]                          # (S, m-1, b, b)
+    tt = tt_ref[:]                        # (S, m-1, b, b)
+    m_blk = sinv.shape[1]
+    bsz = sinv.shape[-1]
+
+    # Forward (I+L) y = G^T, diagonal z = S^{-1} y, backward (I+L)^T x = z;
+    # every step is S tiny (b, b) @ (b, m_p) MXU dots, once per stage.
+    y_p = []
+    for i in range(m_blk):
+        r_i = gt[:, i * bsz:(i + 1) * bsz, :]
+        if i:
+            r_i = r_i - _sdot(t[:, i - 1], y_p[i - 1])
+        y_p.append(r_i)
+    z_p = [_sdot(sinv[:, i], y_p[i]) for i in range(m_blk)]
+    x_p = [None] * m_blk
+    x_p[m_blk - 1] = z_p[m_blk - 1]
+    for i in range(m_blk - 2, -1, -1):
+        x_p[i] = z_p[i] - _sdot(tt[:, i], x_p[i + 1])
+    m1 = jnp.concatenate(x_p, axis=1)     # (S, nfd, m_p)
+    _stage_core(rho_ref[:], m1, gt, b_ref[:], rb_ref[:], xq_ref[:],
+                x0_ref, z0_ref, u0_ref,
+                x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
+                n_iters=n_iters, alpha=alpha, nb_p=nb_p, n_ball=n_ball,
+                init_z=init_z)
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
                                              "n_ball", "init_z", "interpret"))
 def admm_stage_fused(rho, winv, gt, b, rb, xq, x0, z0=None, u0=None, *,
@@ -217,8 +273,54 @@ def admm_stage_fused(rho, winv, gt, b, rb, xq, x0, z0=None, u0=None, *,
         ),
         in_specs=[vmem] * 9,
         out_specs=(vmem,) * 7,
-        interpret=interpret,
+        interpret=interpret or jax.default_backend() == "cpu",
     )(rho, winv, gt, b, rb, xq, x0, z0, u0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
+                                             "n_ball", "init_z", "interpret"))
+def admm_stage_fused_factored(rho, sinv, t, tt, gt, b, rb, xq, x0,
+                              z0=None, u0=None, *,
+                              n_iters: int, alpha: float, nb_p: int,
+                              n_ball: int = -1, init_z: bool = True,
+                              interpret: bool = False):
+    """Fused ADMM stage from block-LDL^T KKT factors (_kernel_fused_factored):
+    m1 = W^{-1} G^T via in-VMEM block-Thomas sweeps -- no dense (nfd, nfd)
+    inverse anywhere.
+
+    Args:
+      rho: (S, 1, 1).  sinv: (S, m, b, b) pivot-block inverses.
+      t/tt: (S, m-1, b, b) subdiagonal factors T_i and their transposes
+      (banded.spd_block_tridiag_factor).  gt: (S, nfd, m_p) with
+      nfd = m * b.  b: (S, 1, m_p).  rb: (S, 1, nb_p).  xq/x0: (S, nfd, 1).
+
+    Returns: same tuple as admm_stage_fused.
+    """
+    s, nfd, m_p = gt.shape
+    if n_ball < 0:
+        n_ball = nb_p
+    if z0 is None:
+        z0 = jnp.zeros((s, 1, m_p), jnp.float32)
+        u0 = jnp.zeros((s, 1, m_p), jnp.float32)
+    kernel = functools.partial(_kernel_fused_factored, n_iters=n_iters,
+                               alpha=alpha, nb_p=nb_p, n_ball=n_ball,
+                               init_z=init_z)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, nfd, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+        ),
+        in_specs=[vmem] * 11,
+        out_specs=(vmem,) * 7,
+        interpret=interpret or jax.default_backend() == "cpu",
+    )(rho, sinv, t, tt, gt, b, rb, xq, x0, z0, u0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",

@@ -80,6 +80,13 @@ class ADMMConfig:
     rho_sphere_factor: float = 1.0
     rho_tube_factor: float = 1.0
     rho_half_factor: float = 1.0
+    # How the Pallas path applies the KKT inverse when the block-tridiagonal
+    # structure holds: "factored" passes the block-LDL^T factors into the
+    # kernel (m1 = W^-1 G^T via in-VMEM block-Thomas sweeps; the dense
+    # (nfd, nfd) inverse is never materialized -- its assembly + layout
+    # copies + xq matvec profiled ~19 ms/batch 6144, the largest non-kernel
+    # cost); "inverse" materializes the dense inverse (pre-2025-08 path).
+    kkt_apply: str = "factored"
 
 
 class QCQPSolution(NamedTuple):
@@ -578,24 +585,42 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
     dual_res = jnp.full((s,), jnp.inf, f32)
     y = None
     for stage in range(config.n_stages):
+        factored = banded_kkt and config.kkt_apply == "factored"
         if banded_kkt:
             rho_b = rho[:, None, :, :]                     # (S, 1, 1, 1)
             from . import banded
-            w_inv = banded.spd_block_tridiag_inverse_blocks(
-                pb_d + rho_b * gd + config.sigma * eye_b,
-                pb_u + rho_b * gu)
+            db = pb_d + rho_b * gd + config.sigma * eye_b
+            ub = pb_u + rho_b * gu
+            if factored:
+                # Block-LDL^T factors only; the dense inverse is never
+                # materialized -- m1 = W^-1 G^T happens in-kernel by
+                # block-Thomas sweeps, xq by the same factored solve here.
+                s_inv, t_fac = banded.spd_block_tridiag_factor(db, ub)
+                xq = -banded.spd_block_tridiag_solve_factored(
+                    s_inv, t_fac, q_flat.astype(f32)[:, :, None])
+            else:
+                w_inv = banded.spd_block_tridiag_inverse_blocks(db, ub)
         else:
             kkt = (p_big + rho * gtg
                    + config.sigma * jnp.eye(nfd, dtype=f32)).astype(f32)
             w_inv = spd_inv(kkt)                           # (S, nfd, nfd)
-        xq = -(w_inv @ q_flat.astype(f32)[:, :, None])     # (S, nfd, 1)
-        # Fused kernel: m1 = w_inv @ G^T formed on-MXU in VMEM; z/u init,
-        # final y, and the dual matvec all happen in-kernel so G^T makes one
-        # HBM round trip per stage.
-        x, z, z_prev, u, prim, dualm, y = admm_kernel.admm_stage_fused(
-            rho, w_inv, gt, b_pad, rb_pad, xq, x, z, u,
-            n_iters=config.n_iters, alpha=config.alpha, nb_p=nb_p,
-            n_ball=n_ball, init_z=(stage == 0))
+        if factored:
+            t_st = jnp.stack(t_fac[1:], axis=1)            # (S, m-1, b, b)
+            x, z, z_prev, u, prim, dualm, y = (
+                admm_kernel.admm_stage_fused_factored(
+                    rho, jnp.stack(s_inv, axis=1), t_st,
+                    jnp.swapaxes(t_st, -1, -2), gt, b_pad, rb_pad, xq, x,
+                    z, u, n_iters=config.n_iters, alpha=config.alpha,
+                    nb_p=nb_p, n_ball=n_ball, init_z=(stage == 0)))
+        else:
+            xq = -(w_inv @ q_flat.astype(f32)[:, :, None])  # (S, nfd, 1)
+            # Fused kernel: m1 = w_inv @ G^T formed on-MXU in VMEM; z/u
+            # init, final y, and the dual matvec all happen in-kernel so
+            # G^T makes one HBM round trip per stage.
+            x, z, z_prev, u, prim, dualm, y = admm_kernel.admm_stage_fused(
+                rho, w_inv, gt, b_pad, rb_pad, xq, x, z, u,
+                n_iters=config.n_iters, alpha=config.alpha, nb_p=nb_p,
+                n_ball=n_ball, init_z=(stage == 0))
         prim_res = prim[:, 0, 0]
         # Padded entries of z are fixed points of the iteration (y=0, b=0),
         # so dz is zero there and the padded matvec is exact.

@@ -335,6 +335,29 @@ def test_admm_pallas_interpret_matches_xla():
                                rtol=1e-2, atol=1e-3)
 
 
+def test_admm_factored_kernel_matches_inverse_kernel():
+    """kkt_apply="factored" (block-LDL^T factors into the kernel, m1 via
+    in-VMEM block-Thomas sweeps) must agree with the dense-inverse kernel
+    path it replaces."""
+    structure, d_fixed, times, waypoints, _ = make_problem(k=4, seed=5)
+    radii = jnp.full((structure.n_segments, 2), 0.6)
+    d32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+    args = (d32(d_fixed), d32(times), d32(waypoints), d32(radii))
+    sols = {}
+    for apply_mode in ("factored", "inverse"):
+        cfg = qcqp.ADMMConfig(n_stages=2, n_iters=40, use_pallas=True,
+                              kkt_apply=apply_mode)
+        sols[apply_mode] = qcqp.solve_qcqp(structure, *args, config=cfg)
+    # f32 round-off: applying W^-1 explicitly vs the factored solve differ
+    # in rounding, amplified over the 2x40 iterations.
+    np.testing.assert_allclose(np.asarray(sols["factored"].d_free),
+                               np.asarray(sols["inverse"].d_free),
+                               rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(float(sols["factored"].max_violation),
+                               float(sols["inverse"].max_violation),
+                               atol=1e-4)
+
+
 def test_padded_assembly_two_traces_one_process():
     """Two DIFFERENT jit programs touching the padded-assembly gather maps
     must not leak the first trace's constants into the second (regression:
