@@ -173,6 +173,48 @@ def append(a: Trajectory, b: Trajectory) -> Trajectory:
         times=jnp.concatenate([a.times, b.times], axis=-1))
 
 
+def add_trajectories(trajectories: Sequence[Trajectory],
+                     check_continuity: bool = True,
+                     max_derivative: int = 0,
+                     tolerance: float = 1e-6) -> Trajectory:
+    """N-way time-concatenation (Trajectory::addTrajectories,
+    trajectory.h:93-94, trajectory.cpp:230-249).
+
+    The reference validates only D/N compatibility; ``check_continuity``
+    additionally asserts each piece starts where the previous one ends
+    (start/goal vertex equality up to ``max_derivative``, the check the
+    reference's isEqualTol-based call sites imply).  Host-side builder API:
+    the continuity check pulls values off device and raises ValueError on a
+    gap, so call it OUTSIDE jit (inside jit, pass check_continuity=False).
+    """
+    if not trajectories:
+        raise ValueError("Need at least one trajectory.")
+    n = trajectories[0].n_coefficients
+    d = trajectories[0].dimension
+    for i, t in enumerate(trajectories[1:], start=1):
+        if t.n_coefficients != n or t.dimension != d:
+            raise ValueError(
+                f"Trajectory {i} has (N={t.n_coefficients}, D={t.dimension})"
+                f" != (N={n}, D={d}) of trajectory 0 (reference "
+                "addTrajectories D/N check, trajectory.cpp:239-241).")
+    if check_continuity:
+        for i in range(len(trajectories) - 1):
+            goal = np.asarray(get_vertex_at_time(
+                trajectories[i], trajectories[i].max_time, max_derivative))
+            start = np.asarray(get_vertex_at_time(
+                trajectories[i + 1], 0.0, max_derivative))
+            gap = np.max(np.abs(goal - start))
+            if not np.all(np.isfinite(gap)) or gap > tolerance:
+                raise ValueError(
+                    f"Trajectory {i}'s goal vertex != trajectory {i + 1}'s "
+                    f"start vertex (max gap {gap:.3e} > tol {tolerance:.1e} "
+                    f"over derivatives 0..{max_derivative}).")
+    merged = trajectories[0]
+    for t in trajectories[1:]:
+        merged = append(merged, t)
+    return merged
+
+
 def scale_trajectory_time(traj: Trajectory, factor) -> Trajectory:
     """Uniformly stretch the trajectory in time by ``factor`` (> 1 slows).
 

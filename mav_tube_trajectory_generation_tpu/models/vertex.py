@@ -13,6 +13,7 @@ functions over position arrays so scenario generation can stay on device.
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -102,7 +103,12 @@ def vertices_to_arrays(vertices: Sequence[Vertex], n_coefficients: int = 10,
             raise ValueError("All vertices must share the same dimension.")
         for d, val in vert.constraints.items():
             if d > h - 1:
-                continue  # warn-and-ignore semantics of impl:82-88
+                # warn-and-ignore semantics of linear_impl.h:82-88.
+                warnings.warn(
+                    f"Vertex {i}: ignoring constraint of derivative order "
+                    f"{d} > N/2-1 = {h - 1} (not representable with "
+                    f"N={n_coefficients} coefficients).", stacklevel=2)
+                continue
             mask[i, d] = True
             values[i, d] = val
     return mask, values

@@ -232,12 +232,19 @@ def _kernel_fused_factored(rho_ref, sinv_ref, t_ref, tt_ref, gt_ref, b_ref,
                 init_z=init_z)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
-                                             "n_ball", "init_z", "interpret"))
+def _resolve_interpret(interpret):
+    """None = auto (interpret on CPU, compiled on TPU); explicit True/False
+    is honored as given.  Resolved OUTSIDE the jitted wrappers so the choice
+    is part of the jit cache key, not a trace-time backend probe."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return bool(interpret)
+
+
 def admm_stage_fused(rho, winv, gt, b, rb, xq, x0, z0=None, u0=None, *,
                      n_iters: int, alpha: float, nb_p: int,
                      n_ball: int = -1, init_z: bool = True,
-                     interpret: bool = False):
+                     interpret=None):
     """Fused ADMM stage: in-kernel m1 formation, z/u init from the warm
     start (init_z=True; pass z0/u0 and init_z=False for stage > 0), and the
     final y / dual-residual matvecs emitted by the kernel.
@@ -251,6 +258,18 @@ def admm_stage_fused(rho, winv, gt, b, rb, xq, x0, z0=None, u0=None, *,
        dual_matvec_max (S, 1, 1) -- multiply by rho for the dual residual,
        y (S, 1, m_p) = G x + b).
     """
+    return _admm_stage_fused_jit(
+        rho, winv, gt, b, rb, xq, x0, z0, u0, n_iters=n_iters, alpha=alpha,
+        nb_p=nb_p, n_ball=n_ball, init_z=init_z,
+        interpret=_resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
+                                             "n_ball", "init_z", "interpret"))
+def _admm_stage_fused_jit(rho, winv, gt, b, rb, xq, x0, z0=None, u0=None, *,
+                          n_iters: int, alpha: float, nb_p: int,
+                          n_ball: int = -1, init_z: bool = True,
+                          interpret: bool = False):
     s, nfd, m_p = gt.shape
     if n_ball < 0:
         n_ball = nb_p
@@ -273,17 +292,15 @@ def admm_stage_fused(rho, winv, gt, b, rb, xq, x0, z0=None, u0=None, *,
         ),
         in_specs=[vmem] * 9,
         out_specs=(vmem,) * 7,
-        interpret=interpret or jax.default_backend() == "cpu",
+        interpret=interpret,
     )(rho, winv, gt, b, rb, xq, x0, z0, u0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
-                                             "n_ball", "init_z", "interpret"))
 def admm_stage_fused_factored(rho, sinv, t, tt, gt, b, rb, xq, x0,
                               z0=None, u0=None, *,
                               n_iters: int, alpha: float, nb_p: int,
                               n_ball: int = -1, init_z: bool = True,
-                              interpret: bool = False):
+                              interpret=None):
     """Fused ADMM stage from block-LDL^T KKT factors (_kernel_fused_factored):
     m1 = W^{-1} G^T via in-VMEM block-Thomas sweeps -- no dense (nfd, nfd)
     inverse anywhere.
@@ -296,6 +313,19 @@ def admm_stage_fused_factored(rho, sinv, t, tt, gt, b, rb, xq, x0,
 
     Returns: same tuple as admm_stage_fused.
     """
+    return _admm_stage_fused_factored_jit(
+        rho, sinv, t, tt, gt, b, rb, xq, x0, z0, u0, n_iters=n_iters,
+        alpha=alpha, nb_p=nb_p, n_ball=n_ball, init_z=init_z,
+        interpret=_resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
+                                             "n_ball", "init_z", "interpret"))
+def _admm_stage_fused_factored_jit(rho, sinv, t, tt, gt, b, rb, xq, x0,
+                                   z0=None, u0=None, *,
+                                   n_iters: int, alpha: float, nb_p: int,
+                                   n_ball: int = -1, init_z: bool = True,
+                                   interpret: bool = False):
     s, nfd, m_p = gt.shape
     if n_ball < 0:
         n_ball = nb_p
@@ -319,7 +349,7 @@ def admm_stage_fused_factored(rho, sinv, t, tt, gt, b, rb, xq, x0,
         ),
         in_specs=[vmem] * 11,
         out_specs=(vmem,) * 7,
-        interpret=interpret or jax.default_backend() == "cpu",
+        interpret=interpret,
     )(rho, sinv, t, tt, gt, b, rb, xq, x0, z0, u0)
 
 

@@ -33,12 +33,14 @@ DATA_AXIS = "data"
 def initialize_distributed(**kwargs) -> None:
     """Multi-host bring-up: jax.distributed.initialize passthrough.
 
-    No-op when already initialized or single-process.
+    No-op when already initialized; any real bring-up error (bad
+    coordinator address, unreachable peers, ...) propagates -- silently
+    degrading to single-process on a misconfigured pod would corrupt
+    every psum'd metric downstream.
     """
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process context
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -124,7 +126,7 @@ def solve_qcqp_sharded(structure: ProblemStructure,
     if config is None:
         config = qcqp_mod.ADMMConfig()
 
-    def shard(df, t, w, r, xx):
+    def shard(df, t, w, r, xx=None):
         sol = qcqp_mod.solve_qcqp_batch(structure, df, t, w, r,
                                         config=config, x0=xx,
                                         scenario_block=scenario_block)
@@ -133,18 +135,17 @@ def solve_qcqp_sharded(structure: ProblemStructure,
             DATA_AXIS)
         return sol, n_ok
 
+    # x0=None is not shardable, so the cold-start case gets its own
+    # shard function: each shard then runs solve_qcqp_batch's OWN internal
+    # cold start (the unconstrained minimum) -- identical behavior to the
+    # unsharded API, instead of a silently different zeros start.
+    n_args = 4 if x0 is None else 5
     fn = jax.shard_map(
         shard, mesh=mesh,
-        in_specs=(P(DATA_AXIS),) * 5,
+        in_specs=(P(DATA_AXIS),) * n_args,
         out_specs=(P(DATA_AXIS), P()))
     if x0 is None:
-        # shard_map needs concrete operands; synthesize the warm start
-        # outside (None is not shardable) -- callers wanting the internal
-        # cold start should pass x0 explicitly from
-        # qcqp.position_constrained_warmstart or zeros.
-        x0 = jnp.zeros(d_fixed.shape[:1]
-                       + (structure.n_free, structure.dimension),
-                       d_fixed.dtype)
+        return fn(d_fixed, times, waypoints, radii)
     return fn(d_fixed, times, waypoints, radii, x0)
 
 

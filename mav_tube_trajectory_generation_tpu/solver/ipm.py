@@ -56,6 +56,19 @@ class IPMConfig:
     lam_init: float = 1.0       # initial multiplier
     eps_feas: float = 1e-6      # convergence thresholds for status output
     eps_mu: float = 1e-8
+    # Relative merit threshold for `converged`: best_merit is compared
+    # against eps_merit * (1 + ||q_eq||_inf) -- the merit's complementarity
+    # term scales linearly with the (equilibrated) objective's gradient
+    # scale, so an absolute threshold would mislabel large-cost problems.
+    eps_merit: float = 1e-4
+    # Primal-infeasibility certificate (QCQPSolution.infeasible): the max
+    # multiplier growing by more than this factor over the second half of
+    # the scan while the lam-weighted average violation stays positive.  On
+    # a feasible problem the multipliers CONVERGE (growth -> 1); on an
+    # infeasible one they diverge along a Farkas direction -- the
+    # first-order analogue of Mosek's certificate (qcqp_impl.h:715-770).
+    # Growth is scale-invariant (a ratio), unlike any absolute lam bound.
+    infeas_growth: float = 10.0
     # Dual warm start (lam0_ball/lam0_half given).  warm_s_min INFLATES the
     # start into the interior: measured on the flagship family, hugging the
     # boundary (warm_s_min 1e-3) stalls the fraction-to-boundary steps no
@@ -282,7 +295,7 @@ def solve_qcqp_ipm(structure: ProblemStructure,
         best_x = jnp.where(better, x_new, best_x)
         best_merit = jnp.where(better, merit, best_merit)
         return (x_new, s_new, lam_new, best_x, best_merit), (
-            jnp.max(jnp.abs(r2)), mu)
+            jnp.max(jnp.abs(r2)), mu, jnp.max(lam_new))
 
     if (lam0_ball is None) != (lam0_half is None):
         raise ValueError("pass lam0_ball and lam0_half together")
@@ -315,13 +328,33 @@ def solve_qcqp_ipm(structure: ProblemStructure,
         lam0 = jnp.full((mc,), config.lam_init, dtype)
     carry0 = (x_flat0, s0, lam0, x_flat0,
               jnp.asarray(jnp.inf, dtype))
-    (x_last, s_fin, lam_fin, x_fin, best_merit), (feas_hist, mu_hist) = \
+    (x_last, s_fin, lam_fin, x_fin, best_merit), \
+        (feas_hist, mu_hist, lam_hist) = \
         jax.lax.scan(newton_step, carry0, None, length=config.n_iters)
 
     c_fin, yb_fin = constraint_values(x_fin)
     mu_fin = jnp.sum(s_fin * lam_fin) / mc
     prim_res = jnp.max(jnp.maximum(c_fin, 0.0))
-    converged = (prim_res < config.eps_feas) & (best_merit < 1e-4)
+    # Scale-invariant convergence: the merit's complementarity term scales
+    # with the objective gradient (q_eq after equilibration), so normalize.
+    obj_scale = 1.0 + jnp.max(jnp.abs(q_eq))
+    converged = ((prim_res < config.eps_feas)
+                 & (best_merit < config.eps_merit * obj_scale))
+    # Primal-infeasibility certificate: diverging multipliers with a
+    # persistently positive lam-weighted average violation.  ``farkas`` is
+    # the complementarity-weighted mean of c_i at the last iterate -- for a
+    # feasible problem it is <= 0 at any KKT-trending point; staying
+    # positive while ||lam|| keeps GROWING (ratio over the scan's second
+    # half, scale-invariant) evidences an unsatisfiable constraint
+    # combination (the Farkas-direction analogue of Mosek's certificate).
+    growth = (lam_hist[-1]
+              / jnp.maximum(lam_hist[config.n_iters // 2], 1e-30))
+    c_last, _ = constraint_values(x_last)   # certificate at the LAST iterate
+    farkas = (jnp.sum(lam_fin * c_last)
+              / jnp.maximum(jnp.sum(lam_fin), 1e-30))
+    infeasible = ((prim_res > 10.0 * config.eps_feas)
+                  & (growth > config.infeas_growth)
+                  & (farkas > config.eps_feas))
 
     d_free = x_fin.reshape(n_free, dim) * d_scale[:, None]
     sol = linear.solve_linear_with_free(structure, d_fixed, d_free, times)
@@ -344,7 +377,8 @@ def solve_qcqp_ipm(structure: ProblemStructure,
         coefficients=sol.coefficients, times=times, d_fixed=d_fixed,
         d_free=d_free, cost=sol.cost, converged=converged,
         primal_residual=prim_res, dual_residual=mu_fin,
-        max_violation=viol, dual_ball=dual_ball, dual_half=dual_half)
+        max_violation=viol, dual_ball=dual_ball, dual_half=dual_half,
+        infeasible=infeasible)
 
 
 def solve_qcqp_polished(structure: ProblemStructure,

@@ -88,6 +88,16 @@ class ADMMConfig:
     # cost); "inverse" materializes the dense inverse (pre-2025-08 path).
     kkt_apply: str = "factored"
 
+    def __post_init__(self):
+        if self.kkt_apply not in ("factored", "inverse"):
+            raise ValueError(
+                f"kkt_apply must be 'factored' or 'inverse', got "
+                f"{self.kkt_apply!r}")
+        if self.kkt_inverse not in ("schur", "cholesky"):
+            raise ValueError(
+                f"kkt_inverse must be 'schur' or 'cholesky', got "
+                f"{self.kkt_inverse!r}")
+
 
 class QCQPSolution(NamedTuple):
     coefficients: jnp.ndarray     # (..., K, N, D)
@@ -101,6 +111,12 @@ class QCQPSolution(NamedTuple):
     max_violation: jnp.ndarray    # (...,) max constraint violation of output
     dual_ball: jnp.ndarray        # (..., n_ball, 3) scaled ADMM duals (rho*u)
     dual_half: jnp.ndarray        # (..., n_half,) scaled ADMM duals (rho*u)
+    # Primal-infeasibility evidence (IPM backend only; None from ADMM):
+    # True when the duals diverge while a positive lam-weighted average
+    # violation persists -- the first-order analogue of Mosek's primal
+    # infeasibility certificate (qcqp_impl.h:715-770).  Distinguishes
+    # "problem infeasible" from "solver stalled" (both have converged=False).
+    infeasible: Optional[jnp.ndarray] = None
 
 
 class _ConstraintSystem(NamedTuple):
@@ -832,66 +848,66 @@ def solve_qcqp(structure: ProblemStructure,
     q_flat = q_eq.reshape(nfd)
     x_flat0 = x_init.reshape(nfd)
 
-    if True:   # XLA scan path (f64-capable, reference-layout tensors)
-        cons = build_constraints(structure, times, d_fixed, waypoints, radii)
-        gb = cons.g_ball * d_scale[None, None, :, None]
-        gh = cons.g_half * d_scale[None, :, None]
+    # XLA scan path (f64-capable, reference-layout tensors).
+    cons = build_constraints(structure, times, d_fixed, waypoints, radii)
+    gb = cons.g_ball * d_scale[None, None, :, None]
+    gh = cons.g_half * d_scale[None, :, None]
 
-        # Row scaling: per ball block / half row -> unit Frobenius scale.
-        # Clamped to [1e-2, 1e2]: constraints whose Jacobian block is
-        # (near-)zero -- e.g. tube constraints on the first segment's leading
-        # control points, which depend only on *fixed* start derivatives --
-        # are constants; unbounded up-scaling of those rows poisons the
-        # solvers.
-        sb = 1.0 / jnp.clip(
-            jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), 1e-2, 1e2)
-        sh = 1.0 / jnp.clip(jnp.sqrt(jnp.sum(gh ** 2, axis=(1, 2))),
-                            1e-2, 1e2)
-        if (config.rho_sphere_factor, config.rho_tube_factor,
-                config.rho_half_factor) != (1.0, 1.0, 1.0):
-            n_sph = structure.n_segments - 1
-            fac_b = jnp.concatenate([
-                jnp.full((n_sph,), np.sqrt(config.rho_sphere_factor), dtype),
-                jnp.full((sb.shape[0] - n_sph,),
-                         np.sqrt(config.rho_tube_factor), dtype)])
-            sb = sb * fac_b
-            # dtype-pinned: a bare np scalar would promote f32 -> f64 under
-            # x64 and break the scan carry.
-            sh = sh * dtype.type(np.sqrt(config.rho_half_factor))
-        gb = gb * sb[:, None, None, None]
-        bb = cons.b_ball * sb[:, None]
-        rb = cons.r_ball * sb
-        gh = gh * sh[:, None, None]
-        bh = cons.b_half * sh
+    # Row scaling: per ball block / half row -> unit Frobenius scale.
+    # Clamped to [1e-2, 1e2]: constraints whose Jacobian block is
+    # (near-)zero -- e.g. tube constraints on the first segment's leading
+    # control points, which depend only on *fixed* start derivatives --
+    # are constants; unbounded up-scaling of those rows poisons the
+    # solvers.
+    sb = 1.0 / jnp.clip(
+        jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), 1e-2, 1e2)
+    sh = 1.0 / jnp.clip(jnp.sqrt(jnp.sum(gh ** 2, axis=(1, 2))),
+                        1e-2, 1e2)
+    if (config.rho_sphere_factor, config.rho_tube_factor,
+            config.rho_half_factor) != (1.0, 1.0, 1.0):
+        n_sph = structure.n_segments - 1
+        fac_b = jnp.concatenate([
+            jnp.full((n_sph,), np.sqrt(config.rho_sphere_factor), dtype),
+            jnp.full((sb.shape[0] - n_sph,),
+                     np.sqrt(config.rho_tube_factor), dtype)])
+        sb = sb * fac_b
+        # dtype-pinned: a bare np scalar would promote f32 -> f64 under
+        # x64 and break the scan carry.
+        sh = sh * dtype.type(np.sqrt(config.rho_half_factor))
+    gb = gb * sb[:, None, None, None]
+    bb = cons.b_ball * sb[:, None]
+    rb = cons.r_ball * sb
+    gh = gh * sh[:, None, None]
+    bh = cons.b_half * sh
 
-        # x (n_free, D) flattens p-major (index p*dim + d); ball rows flatten
-        # COMPONENT-major ([all x | all y | all z]) so the ball projection is
-        # three contiguous slices (also the Pallas kernel layout).  All
-        # per-iteration work becomes two dense matvecs against precomputed
-        # matrices -- deliberately NO triangular solves inside the scan:
-        # XLA:TPU lowers batched triangular solves row-by-row
-        # (latency-bound), whereas dense (m x n) matvecs ride the MXU.
-        n_ball = gb.shape[0]
-        n_half = gh.shape[0]
-        mb = n_ball * 3
-        gb_cm = jnp.moveaxis(gb, 1, 0)                    # (3, n_ball, nf, D)
-        g_all = jnp.concatenate([gb_cm.reshape(mb, nfd),
-                                 gh.reshape(n_half, nfd)], axis=0)  # (m, nfd)
-        b_all = jnp.concatenate([bb.T.reshape(mb), bh])
-        gtg = g_all.T @ g_all
+    # x (n_free, D) flattens p-major (index p*dim + d); ball rows flatten
+    # COMPONENT-major ([all x | all y | all z]) so the ball projection is
+    # three contiguous slices (also the Pallas kernel layout).  All
+    # per-iteration work becomes two dense matvecs against precomputed
+    # matrices -- deliberately NO triangular solves inside the scan:
+    # XLA:TPU lowers batched triangular solves row-by-row
+    # (latency-bound), whereas dense (m x n) matvecs ride the MXU.
+    n_ball = gb.shape[0]
+    n_half = gh.shape[0]
+    mb = n_ball * 3
+    gb_cm = jnp.moveaxis(gb, 1, 0)                        # (3, n_ball, nf, D)
+    g_all = jnp.concatenate([gb_cm.reshape(mb, nfd),
+                             gh.reshape(n_half, nfd)], axis=0)  # (m, nfd)
+    b_all = jnp.concatenate([bb.T.reshape(mb), bh])
+    gtg = g_all.T @ g_all
 
-        def project_flat(v):
-            vb = v[:mb].reshape(3, n_ball)
-            sq = jnp.sum(vb * vb, axis=0)
-            scale = jnp.where(sq > rb * rb,
-                              rb / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
-            return jnp.concatenate([(vb * scale).reshape(mb),
-                                    jnp.minimum(v[mb:], 0.0)])
+    def project_flat(v):
+        vb = v[:mb].reshape(3, n_ball)
+        sq = jnp.sum(vb * vb, axis=0)
+        scale = jnp.where(sq > rb * rb,
+                          rb / jnp.sqrt(jnp.maximum(sq, 1e-30)), 1.0)
+        return jnp.concatenate([(vb * scale).reshape(mb),
+                                jnp.minimum(v[mb:], 0.0)])
 
-        z0 = project_flat(g_all @ x_flat0 + b_all)
-        x_fin_flat, z_fin, u_fin, rho, prim_res, dual_res = _run_stages_xla(
-            config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
-            x_flat0, z0, project_flat, dtype)
+    z0 = project_flat(g_all @ x_flat0 + b_all)
+    x_fin_flat, z_fin, u_fin, rho, prim_res, dual_res = _run_stages_xla(
+        config, g_all, b_all, gtg, p_big, eye_kkt, q_flat,
+        x_flat0, z0, project_flat, dtype)
 
     mb = n_ball * 3
     ub = u_fin[:mb].reshape(3, n_ball).T

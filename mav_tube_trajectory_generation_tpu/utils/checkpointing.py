@@ -35,5 +35,11 @@ def load_pytree(path: str, like: Any) -> Any:
         if n != len(leaves_like):
             raise ValueError(
                 f"Checkpoint has {n} leaves; template has {len(leaves_like)}.")
+        if "__treedef__" in data.files:
+            saved = json.loads(bytes(data["__treedef__"]).decode())
+            if saved != str(treedef):
+                raise ValueError(
+                    "Checkpoint treedef does not match the template:\n"
+                    f"  saved:    {saved}\n  template: {treedef}")
         leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -5,6 +5,8 @@ role of the reference's Mosek IPM): coefficients within tolerance, identical
 feasibility verdicts (SURVEY.md section 7, stage 3).
 """
 
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,6 +19,24 @@ from mav_tube_trajectory_generation_tpu.solver import structure as sm
 
 N = 10
 H = N // 2
+
+
+@contextlib.contextmanager
+def _force_interpret(ak):
+    """Monkeypatch BOTH fused kernel wrappers to interpret=True: makes the
+    tests' interpret-mode intent explicit instead of relying on the
+    wrappers' implicit CPU auto-fallback (ADVICE.md round 1)."""
+    orig_f = ak.admm_stage_fused
+    orig_ff = ak.admm_stage_fused_factored
+    ak.admm_stage_fused = \
+        lambda *a, **k: orig_f(*a, **{**k, "interpret": True})
+    ak.admm_stage_fused_factored = \
+        lambda *a, **k: orig_ff(*a, **{**k, "interpret": True})
+    try:
+        yield
+    finally:
+        ak.admm_stage_fused = orig_f
+        ak.admm_stage_fused_factored = orig_ff
 
 
 # ---------------------------------------------------------------------------
@@ -324,13 +344,12 @@ def test_admm_pallas_interpret_matches_xla():
     cfg_p = qcqp.ADMMConfig(n_stages=2, n_iters=50, use_pallas=True)
     sx = qcqp.solve_qcqp(structure, args[0], args[1], args[2], args[3],
                          config=cfg_x)
-    orig = ak.admm_stage_fused
-    ak.admm_stage_fused = lambda *a, **k: orig(*a, **{**k, "interpret": True})
-    try:
+    # Explicitly force interpret mode on BOTH fused kernel wrappers (the
+    # default kkt_apply="factored" routes to admm_stage_fused_factored);
+    # don't rely on the wrappers' implicit CPU auto-fallback.
+    with _force_interpret(ak):
         sp = qcqp.solve_qcqp(structure, args[0], args[1], args[2], args[3],
                              config=cfg_p)
-    finally:
-        ak.admm_stage_fused = orig
     np.testing.assert_allclose(np.asarray(sp.d_free), np.asarray(sx.d_free),
                                rtol=1e-2, atol=1e-3)
 
@@ -388,15 +407,11 @@ def test_solve_qcqp_batch_matches_per_scenario():
     wp_b = jnp.stack([d32(waypoints)] * b)
     r_b = jnp.full((b, structure.n_segments, 2), 0.6, jnp.float32)
     cfg = qcqp.ADMMConfig(n_stages=2, n_iters=30, use_pallas=True)
-    orig = ak.admm_stage_fused
-    ak.admm_stage_fused = lambda *a, **k: orig(*a, **{**k, "interpret": True})
-    try:
+    with _force_interpret(ak):
         s1 = jax.vmap(lambda a, c, d, e: qcqp.solve_qcqp(
             structure, a, c, d, e, config=cfg))(dff, t_b, wp_b, r_b)
         s4 = qcqp.solve_qcqp_batch(structure, dff, t_b, wp_b, r_b,
                                    config=cfg, scenario_block=4)  # pads 6->8
-    finally:
-        ak.admm_stage_fused = orig
     np.testing.assert_array_equal(np.asarray(s4.d_free),
                                   np.asarray(s1.d_free))
     np.testing.assert_array_equal(np.asarray(s4.max_violation),
@@ -442,3 +457,44 @@ def test_solve_qcqp_polished_reaches_optimum():
     assert bool(pol.converged)
     assert float(pol.max_violation) < 1e-8
     assert float(pol.cost) == pytest.approx(float(full.cost), rel=1e-4)
+
+
+def test_ipm_infeasibility_certificate():
+    """The IPM must distinguish 'problem infeasible' (diverging duals along
+    a Farkas direction) from 'solver stalled' (VERDICT round-1 missing #5)."""
+    from mav_tube_trajectory_generation_tpu.solver import ipm
+    structure, d_fixed, times, waypoints, _ = make_problem(k=4, seed=3)
+    radii_bad = jnp.full((structure.n_segments, 2), 1e-4)
+    s_bad = ipm.solve_qcqp_ipm(structure, d_fixed, times, waypoints,
+                               radii_bad)
+    assert not bool(s_bad.converged)
+    assert bool(s_bad.infeasible)
+    radii_ok = jnp.full((structure.n_segments, 2), 0.6)
+    # Feasible + converged: no certificate.
+    s_ok = ipm.solve_qcqp_ipm(structure, d_fixed, times, waypoints, radii_ok)
+    assert bool(s_ok.converged) and not bool(s_ok.infeasible)
+    # Feasible but STALLED (budget too small): not converged, and the
+    # certificate must NOT fire -- that is the whole point.
+    s_stall = ipm.solve_qcqp_ipm(structure, d_fixed, times, waypoints,
+                                 radii_ok, config=ipm.IPMConfig(n_iters=3))
+    assert not bool(s_stall.converged)
+    assert not bool(s_stall.infeasible)
+
+
+def test_ipm_convergence_scale_invariant():
+    """converged must not depend on the problem's cost scale (VERDICT
+    round-1 weak #2): the same geometry blown up 10x has ~1e3x the cost."""
+    from mav_tube_trajectory_generation_tpu.solver import ipm
+    structure, d_fixed, times, waypoints, _ = make_problem(k=4, seed=3)
+    radii = jnp.full((structure.n_segments, 2), 0.6)
+    for scale in (1.0, 10.0):
+        s = ipm.solve_qcqp_ipm(structure, d_fixed * scale, times,
+                               waypoints * scale, radii * scale)
+        assert bool(s.converged), scale
+
+
+def test_admm_config_validation():
+    with pytest.raises(ValueError, match="kkt_apply"):
+        qcqp.ADMMConfig(kkt_apply="fctored")
+    with pytest.raises(ValueError, match="kkt_inverse"):
+        qcqp.ADMMConfig(kkt_inverse="cholsky")

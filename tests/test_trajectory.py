@@ -124,3 +124,43 @@ def test_scale_times_to_limits_repairs_violation():
     # A trajectory already within limits is untouched.
     same = traj_mod.scale_times_to_limits(traj, vmax0 * 2, amax0 * 2)
     np.testing.assert_allclose(np.asarray(same.times), np.asarray(traj.times))
+
+
+def test_add_trajectories_merge_and_continuity():
+    """N-way merge (Trajectory::addTrajectories, trajectory.cpp:230-249):
+    compatible pieces concatenate; a continuity gap raises."""
+    _, structure, values, times, sol = build_solution(k=3, seed=7)
+    traj = mtg.Trajectory(sol.coefficients, sol.times)
+    # Build a continuation that starts exactly at the goal state: re-solve
+    # with the start vertex = goal of traj.
+    goal_state = np.asarray(
+        traj_mod.get_vertex_at_time(traj, traj.max_time, H - 1))
+    verts2 = mtg.create_random_vertices(H - 1, 3, -10 * np.ones(3),
+                                        10 * np.ones(3), seed=8)
+    for d in range(H):
+        verts2[0].add_constraint(d, goal_state[d])
+    structure2, values2 = mtg.structure_from_vertices(verts2, N, mtg.SNAP)
+    times2 = mtg.estimate_segment_times(verts2, 3.0, 5.0)
+    d_fixed2 = mtg.extract_fixed_values(structure2, jnp.asarray(values2))
+    sol2 = mtg.solve_linear(structure2, d_fixed2, jnp.asarray(times2))
+    traj2 = mtg.Trajectory(sol2.coefficients, sol2.times)
+
+    merged = traj_mod.add_trajectories([traj, traj2], max_derivative=H - 1,
+                                       tolerance=1e-6)
+    assert merged.n_segments == 6
+    # Merged trajectory evaluates identically on each piece's time range.
+    t_mid2 = float(traj.max_time) + 0.3 * float(traj2.max_time)
+    np.testing.assert_allclose(
+        np.asarray(mtg.evaluate(merged, jnp.asarray(t_mid2))),
+        np.asarray(mtg.evaluate(traj2,
+                                jnp.asarray(t_mid2 - float(traj.max_time)))),
+        atol=1e-8)
+
+    # A discontinuous pair must raise.
+    with pytest.raises(ValueError, match="goal vertex"):
+        traj_mod.add_trajectories([traj, traj], max_derivative=0)
+
+    # D/N mismatch must raise (reference D/N check).
+    sub = traj_mod.get_segment_dimension(traj, [0, 1])
+    with pytest.raises(ValueError, match="D="):
+        traj_mod.add_trajectories([traj, sub], check_continuity=False)
