@@ -109,6 +109,24 @@ class NonlinearParameters:
     al_rounds: int = 4
     al_penalty: float = 10.0
     al_penalty_growth: float = 4.0
+    # Relative cost-decrease tolerance (NLOPT ftol_rel; reference default
+    # 0.05, nonlinear.h:51).  The TPU build runs FIXED-length scans, so
+    # f_rel does not truncate the loop; it defines the *effective*
+    # convergence iteration and stopping reason reported in
+    # NonlinearResult (OptimizationInfo::stopping_reason analogue).
+    f_rel: float = 0.05
+    # Hard box bounds on the free endpoint derivatives
+    # (setFreeEndpointDerivativeHardConstraints, nonlinear_impl.h:2858-2905,
+    # consumed at :461,552,781): each magnitude constraint boxes its
+    # derivative's free columns to +-|value|; free POSITIONS are pinned
+    # inside [min_bound, max_bound] (the map box, nonlinear.h min_bound/
+    # max_bound params).  The reference feeds these to NLOPT's
+    # set_lower/upper_bounds; the TPU analogue is projected L-BFGS (clip
+    # after every update).  min/max_bound default to the ESDF extent when a
+    # collision field is given.
+    use_hard_bounds: bool = True
+    min_bound: Optional[Tuple[float, ...]] = None
+    max_bound: Optional[Tuple[float, ...]] = None
 
 
 class CostBreakdown(NamedTuple):
@@ -119,6 +137,40 @@ class CostBreakdown(NamedTuple):
     soft_constraints: jnp.ndarray
 
 
+# Stopping-reason codes (per-scenario; the NLOPT return-code analogue,
+# nlopt_impl.h return strings at nonlinear_impl.h:3009-3036).
+STOP_MAX_ITERATIONS = 0   # ran the full fixed-length scan, still improving
+STOP_FTOL_REACHED = 1     # relative cost decrease fell below f_rel
+
+STOPPING_REASON_STRINGS = {
+    STOP_MAX_ITERATIONS: "MAXEVAL_REACHED",
+    STOP_FTOL_REACHED: "FTOL_REACHED",
+}
+
+
+def effective_iterations(cost_history: jnp.ndarray, f_rel: float):
+    """(n_iterations, stopping_reason) from a per-iteration cost trace.
+
+    The reference's NLOPT loop stops at the first iteration whose relative
+    cost decrease is below ftol_rel and records the count in
+    OptimizationInfo::n_iterations (nonlinear.h:212-231); the TPU build
+    runs fixed-length scans, so the equivalent is derived from the cost
+    trace: the first step i with |c_i - c_{i-1}| <= f_rel * |c_i| (else the
+    scan length).  Batched: cost_history (..., T) -> ((...,), (...,)) int32.
+    """
+    c = cost_history
+    t = c.shape[-1]
+    prev, cur = c[..., :-1], c[..., 1:]
+    small = jnp.abs(prev - cur) <= f_rel * jnp.maximum(
+        jnp.abs(cur), jnp.asarray(1e-30, c.dtype))
+    any_small = jnp.any(small, axis=-1)
+    first = jnp.argmax(small, axis=-1).astype(jnp.int32) + 1
+    n_it = jnp.where(any_small, first, jnp.int32(t))
+    reason = jnp.where(any_small, jnp.int32(STOP_FTOL_REACHED),
+                       jnp.int32(STOP_MAX_ITERATIONS))
+    return n_it, reason
+
+
 class NonlinearResult(NamedTuple):
     """OptimizationInfo analogue (nonlinear.h:212-231) + the solution.
 
@@ -127,23 +179,30 @@ class NonlinearResult(NamedTuple):
     per-outer-iteration objective value (the reference retains every NLOPT
     iterate in ``all_trajectories_``, nonlinear.h:316-328; the cost trace is
     the batch-friendly equivalent -- recover any iterate's trajectory by
-    re-solving at its times)."""
+    re-solving at its times).  ``n_iterations`` is the EFFECTIVE convergence
+    iteration derived from the trace (see ``effective_iterations``);
+    ``stopping_reason`` the matching code (STOPPING_REASON_STRINGS)."""
     coefficients: jnp.ndarray
     times: jnp.ndarray
     d_fixed: jnp.ndarray
     d_free: jnp.ndarray
     cost: CostBreakdown
     initial_cost: CostBreakdown
-    n_iterations: int
+    n_iterations: jnp.ndarray
     maxima: dict
     cost_history: Optional[jnp.ndarray] = None
+    stopping_reason: Optional[jnp.ndarray] = None
 
 
 def format_result(res: "NonlinearResult") -> str:
     """Printable report (OptimizationInfo::print, nonlinear_impl.h:29-47)."""
     c, c0 = res.cost, res.initial_cost
+    reason = ""
+    if res.stopping_reason is not None:
+        reason = " (" + STOPPING_REASON_STRINGS.get(
+            int(res.stopping_reason), "?") + ")"
     lines = ["Optimization info:",
-             f"  iterations: {res.n_iterations}",
+             f"  iterations: {int(res.n_iterations)}{reason}",
              f"  total cost:            {float(c0.total):.6g} -> "
              f"{float(c.total):.6g}",
              f"  cost trajectory (J_d): {float(c.trajectory):.6g}",
@@ -285,12 +344,74 @@ def total_cost(structure: ProblemStructure, d_fixed, d_free, times,
                          time=j_t, soft_constraints=j_sc)
 
 
+def map_bounds(field: esdf_mod.Esdf) -> Tuple[np.ndarray, np.ndarray]:
+    """(min_bound, max_bound) spanned by an ESDF's voxel centers -- the
+    default map box when NonlinearParameters does not pin one explicitly."""
+    shape = np.asarray(field.distance.shape, np.float64)
+    origin = np.asarray(field.origin, np.float64)
+    res = float(field.resolution)
+    return origin, origin + (shape - 1.0) * res
+
+
+def free_derivative_bounds(structure: ProblemStructure,
+                           constraints: Sequence[MagnitudeConstraint] = (),
+                           min_bound=None, max_bound=None,
+                           dtype=jnp.float32):
+    """Per-free-column box bounds (lo, hi), each (n_free, D).
+
+    Reference semantics (setFreeEndpointDerivativeHardConstraints,
+    nonlinear_impl.h:2858-2905): every bound starts at +-inf; each magnitude
+    constraint boxes its derivative order's free columns to +-|value|; when
+    positions are free (the QCQP pattern), the position columns are pinned to
+    the map box [min_bound, max_bound] per spatial dimension.
+    """
+    n_free, dim = structure.n_free, structure.dimension
+    lo = np.full((n_free, dim), -np.inf)
+    hi = np.full((n_free, dim), np.inf)
+    derivs = structure.free_cols[:, 1]
+    for c in constraints:
+        rows = derivs == c.derivative
+        lo[rows] = -abs(c.value)
+        hi[rows] = abs(c.value)
+    if min_bound is not None or max_bound is not None:
+        rows = derivs == 0
+        if min_bound is not None:
+            lo[rows] = np.broadcast_to(np.asarray(min_bound, np.float64),
+                                       (dim,))
+        if max_bound is not None:
+            hi[rows] = np.broadcast_to(np.asarray(max_bound, np.float64),
+                                       (dim,))
+    return jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)
+
+
+def _resolve_bounds(structure: ProblemStructure,
+                    params: NonlinearParameters,
+                    constraints: Sequence[MagnitudeConstraint],
+                    field: Optional[esdf_mod.Esdf],
+                    dtype):
+    """The (lo, hi) box for this optimize() call, or None when every bound
+    would be infinite (no constraints, no map)."""
+    if not params.use_hard_bounds:
+        return None
+    mn, mx = params.min_bound, params.max_bound
+    if mn is None and mx is None and field is not None:
+        mn, mx = map_bounds(field)
+    if not constraints and mn is None and mx is None:
+        return None
+    return free_derivative_bounds(structure, constraints, mn, mx, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Optimizers.
 # ---------------------------------------------------------------------------
 
-def _lbfgs_minimize(fn, x0, n_iters: int):
-    """Fixed-iteration L-BFGS with zoom linesearch over a pytree."""
+def _lbfgs_minimize(fn, x0, n_iters: int, project=None):
+    """Fixed-iteration L-BFGS with zoom linesearch over a pytree.
+
+    ``project`` (optional) maps the iterate back onto a feasible box after
+    every update -- projected L-BFGS, the TPU analogue of NLOPT's
+    set_lower/upper_bounds box handling (the iterate, and therefore every
+    subsequent linesearch probe, stays inside the box)."""
     opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(fn)
 
@@ -300,8 +421,11 @@ def _lbfgs_minimize(fn, x0, n_iters: int):
         updates, state = opt.update(grad, state, params, value=value,
                                     grad=grad, value_fn=fn)
         params = optax.apply_updates(params, updates)
+        if project is not None:
+            params = project(params)
         return (params, state), value
 
+    x0 = x0 if project is None else project(x0)
     (x_fin, _), values = jax.lax.scan(step, (x0, opt.init(x0)), None,
                                       length=n_iters)
     return x_fin, values
@@ -400,6 +524,12 @@ def optimize(structure: ProblemStructure,
     breakdown0 = total_cost(structure, d_fixed, d_free_init, times_init,
                             params, constraints, field)
 
+    # Hard box bounds on d_free (nonlinear_impl.h:2858-2905, consumed by all
+    # FREE_CONSTRAINTS* objectives at :461,552,781): projected L-BFGS.
+    bounds = _resolve_bounds(structure, params, constraints, field, dtype)
+    project_d = (None if bounds is None
+                 else (lambda d: jnp.clip(d, bounds[0], bounds[1])))
+
     obj = params.objective
     if obj == Objective.TIME:
         t_lo = jnp.asarray(params.time_lower_bound, dtype)
@@ -467,7 +597,8 @@ def optimize(structure: ProblemStructure,
             mu = jnp.asarray(params.al_penalty, dtype)
             for _ in range(params.al_rounds):
                 d_free_fin, vals = _lbfgs_minimize(
-                    lambda d: al_cost(d, lam, mu), d_free_fin, inner_iters)
+                    lambda d: al_cost(d, lam, mu), d_free_fin, inner_iters,
+                    project=project_d)
                 histories.append(vals)
                 lam = jnp.maximum(lam + mu * g_of(d_free_fin), 0.0)
                 mu = mu * params.al_penalty_growth
@@ -477,7 +608,8 @@ def optimize(structure: ProblemStructure,
                 return total_cost(structure, d_fixed, d_free, times_init,
                                   params, constraints, field).total
             d_free_fin, history = _lbfgs_minimize(fn, d_free_init,
-                                                  params.max_iterations)
+                                                  params.max_iterations,
+                                                  project=project_d)
         times_fin = times_init
     else:  # joint (d_free, theta) objectives
         # Bound the log-time scaling to the reference's spirit of
@@ -495,9 +627,11 @@ def optimize(structure: ProblemStructure,
             times = scale_times(theta)
             return total_cost(structure, d_fixed, d_free, times, params,
                               constraints, field).total
+        project_joint = (None if project_d is None
+                         else (lambda xs: (project_d(xs[0]), xs[1])))
         (d_free_fin, theta_fin), history = _lbfgs_minimize(
             fn, (d_free_init, jnp.zeros_like(times_init)),
-            params.max_iterations)
+            params.max_iterations, project=project_joint)
         times_fin = scale_times(theta_fin)
 
     sol = linear.solve_linear_with_free(structure, d_fixed, d_free_fin,
@@ -507,11 +641,12 @@ def optimize(structure: ProblemStructure,
     maxima = {c.derivative: max_magnitude_from_d(
         structure, d_fixed, d_free_fin, times_fin, c.derivative,
         params.extrema_grid) for c in constraints}
+    n_eff, stop_reason = effective_iterations(history, params.f_rel)
     return NonlinearResult(
         coefficients=sol.coefficients, times=times_fin, d_fixed=d_fixed,
         d_free=d_free_fin, cost=breakdown, initial_cost=breakdown0,
-        n_iterations=params.max_iterations, maxima=maxima,
-        cost_history=history)
+        n_iterations=n_eff, maxima=maxima,
+        cost_history=history, stopping_reason=stop_reason)
 
 
 def optimize_time_gradient(structure: ProblemStructure,

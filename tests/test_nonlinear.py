@@ -200,7 +200,9 @@ def test_format_result():
         use_soft_constraints=False)
     res = nonlinear.optimize(structure, d_fixed, times, params)
     report = nonlinear.format_result(res)
-    assert "cost trajectory" in report and "iterations: 3" in report
+    assert "cost trajectory" in report and "iterations:" in report
+    # n_iterations is the EFFECTIVE convergence iteration (<= the budget).
+    assert 1 <= int(res.n_iterations) <= 3
 
 
 def test_hard_magnitude_constraint_augmented_lagrangian():
@@ -230,3 +232,108 @@ def test_hard_magnitude_constraint_augmented_lagrangian():
     assert np.isfinite(float(res.cost.total))
     # maxima report reflects the constrained derivative.
     assert 1 in res.maxima
+
+
+def test_effective_iterations_and_stopping_reason():
+    """n_iterations must be the EFFECTIVE convergence iteration derived from
+    the cost trace, not the static scan length (VERDICT round-1 missing #6)."""
+    # Synthetic traces first: converges at step 3 of 6.
+    hist = jnp.asarray([10.0, 5.0, 2.0, 1.999, 1.998, 1.997])
+    n_it, reason = nonlinear.effective_iterations(hist, f_rel=0.05)
+    assert int(n_it) == 3
+    assert int(reason) == nonlinear.STOP_FTOL_REACHED
+    # Never converges -> full length + MAXEVAL.
+    hist2 = jnp.asarray([16.0, 8.0, 4.0, 2.0, 1.0, 0.5])
+    n_it2, reason2 = nonlinear.effective_iterations(hist2, f_rel=0.05)
+    assert int(n_it2) == 6
+    assert int(reason2) == nonlinear.STOP_MAX_ITERATIONS
+    # End-to-end: a generous iteration budget on a smooth problem must
+    # report an effective count BELOW the budget with FTOL_REACHED.
+    structure, d_fixed, times, _ = build()
+    params = nonlinear.NonlinearParameters(
+        objective=nonlinear.Objective.FREE_CONSTRAINTS, max_iterations=40,
+        use_soft_constraints=False)
+    res = nonlinear.optimize(structure, d_fixed, times, params)
+    assert int(res.n_iterations) < 40
+    assert int(res.stopping_reason) == nonlinear.STOP_FTOL_REACHED
+    assert "FTOL_REACHED" in nonlinear.format_result(res)
+
+
+def test_free_derivative_bounds_layout():
+    """Box construction (setFreeEndpointDerivativeHardConstraints,
+    nonlinear_impl.h:2858-2905): magnitude constraints box their derivative's
+    free columns to +-|value|; free positions get the map box; everything
+    else stays infinite."""
+    structure = sm.make_structure(sm.free_interior_mask(4, N), 3, N)
+    cons = [nonlinear.MagnitudeConstraint(mtg.VELOCITY, 2.5),
+            nonlinear.MagnitudeConstraint(mtg.ACCELERATION, -4.0)]
+    lo, hi = nonlinear.free_derivative_bounds(
+        structure, cons, min_bound=(0.0, -1.0, 0.0),
+        max_bound=(6.0, 7.0, 8.0), dtype=jnp.float64)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    derivs = structure.free_cols[:, 1]
+    np.testing.assert_allclose(lo[derivs == 1], -2.5)
+    np.testing.assert_allclose(hi[derivs == 1], 2.5)
+    # abs(value) semantics: a negative bound value still gives +-|value|.
+    np.testing.assert_allclose(lo[derivs == 2], -4.0)
+    np.testing.assert_allclose(hi[derivs == 2], 4.0)
+    np.testing.assert_allclose(lo[derivs == 0], [[0.0, -1.0, 0.0]] * 2)
+    np.testing.assert_allclose(hi[derivs == 0], [[6.0, 7.0, 8.0]] * 2)
+    assert np.all(np.isinf(lo[derivs >= 3])) and np.all(np.isinf(hi[derivs >= 3]))
+
+
+def test_hard_map_bounds_confine_free_positions():
+    """VERDICT round-1 missing #1 'done' criterion: an obstacle whose cheap
+    escape is outside the map pushes the UNBOUNDED optimizer out of the map;
+    with hard bounds (the default) the iterate provably stays inside
+    (map bounds on free positions, nonlinear_impl.h:2883-2887)."""
+    dim, k = 3, 2
+    structure = sm.make_structure(sm.free_interior_mask(k + 1, N), dim, N)
+    values = np.zeros((k + 1, H, dim))
+    values[0, 0] = [0.2, 0.3, 0.5]
+    values[2, 0] = [1.7, 0.3, 0.5]
+    d_fixed = mtg.extract_fixed_values(structure, jnp.asarray(values))
+    times = jnp.asarray([3.0, 3.0])
+    # Sphere just above the straight path: the collision gradient pushes the
+    # free midpoint toward -y, and clearance-satisfying detours lie below
+    # y = 0 -- outside the map box [0, 1.9] x [0, 1.9] x [0, 0.9].
+    occ = mtg.make_obstacle_grid((20, 20, 10), (0, 0, 0), 0.1,
+                                 spheres=[((0.95, 0.5, 0.5), 0.4)])
+    field = mtg.esdf_from_occupancy(occ, (0, 0, 0), 0.1, dtype=jnp.float64)
+    pos_rows = structure.free_cols[:, 1] == 0
+    mn, mx = nonlinear.map_bounds(field)
+
+    def run(hard):
+        params = nonlinear.NonlinearParameters(
+            objective=nonlinear.Objective.FREE_CONSTRAINTS_AND_COLLISION,
+            max_iterations=80, use_soft_constraints=False,
+            robot_radius=0.1, epsilon=0.3, collision_samples_per_segment=64,
+            weights=nonlinear.CostWeights(w_d=0.1, w_c=1000.0),
+            use_hard_bounds=hard)
+        res = nonlinear.optimize(structure, d_fixed, times, params,
+                                 field=field)
+        return np.asarray(res.d_free)[pos_rows], res
+
+    free_nb, _ = run(False)
+    assert np.any((free_nb < mn) | (free_nb > mx)), free_nb  # escapes the map
+    free_b, res_b = run(True)
+    assert np.all((free_b >= mn) & (free_b <= mx)), free_b   # confined
+    # The bounded optimizer still makes real collision progress.
+    assert float(res_b.cost.collision) < 0.3 * float(
+        res_b.initial_cost.collision)
+
+
+def test_hard_bounds_box_magnitude_constraints():
+    """Magnitude constraints additionally BOX each free derivative component
+    to +-|value| (nonlinear_impl.h:2890-2904) on top of the AL magnitude
+    handling: every velocity component of d_free must end inside the box."""
+    structure, d_fixed, times, _ = build(seed=7)
+    v_limit = 1.5
+    cons = [nonlinear.MagnitudeConstraint(mtg.VELOCITY, v_limit)]
+    params = nonlinear.NonlinearParameters(
+        objective=nonlinear.Objective.FREE_CONSTRAINTS, max_iterations=40,
+        use_soft_constraints=False)
+    res = nonlinear.optimize(structure, d_fixed, times, params, cons)
+    vel_rows = structure.free_cols[:, 1] == 1
+    vel = np.asarray(res.d_free)[vel_rows]
+    assert np.all(np.abs(vel) <= v_limit + 1e-9), vel
