@@ -48,7 +48,8 @@ def esdf_from_occupancy(occupancy: jnp.ndarray,
                         origin,
                         resolution: float,
                         dtype=jnp.float32,
-                        signed: bool = True) -> Esdf:
+                        signed: bool = True,
+                        method: str = "auto") -> Esdf:
     """Exact (signed) EDT of an occupancy grid (True/1 = occupied).
 
     For free voxels: distance to the nearest occupied voxel center (the
@@ -60,7 +61,44 @@ def esdf_from_occupancy(occupancy: jnp.ndarray,
     optimizer most needs a push outward (it papers over this with an
     is_collision abort, impl:1718-1724).  An all-free map gets a large
     finite distance everywhere.
+
+    ``method``: "xla" = in-graph min-plus reduction (traceable, O(n^2) per
+    axis -- fine to ~128^3); "native" = host C++ Felzenszwalb O(n) per axis
+    (native/edt.cpp -- the pod-scale-map path, e.g. 512^3, where the XLA
+    broadcast's (..., n, n) memory blows up); "auto" picks native for
+    concrete 3-D grids above 64^3 voxels when the toolchain is available.
+    Both are exact; outputs match to float32 rounding.
     """
+    occ_is_concrete = not isinstance(occupancy, jax.core.Tracer)
+    if method == "auto":
+        use_native = False
+        if occ_is_concrete:
+            occ_np = np.asarray(occupancy, bool)
+            if occ_np.ndim == 3 and occ_np.size > 64 ** 3:
+                from .. import native
+                use_native = native.edt_available()
+        method = "native" if use_native else "xla"
+
+    if method == "native":
+        if not occ_is_concrete:
+            raise ValueError("method='native' needs a concrete (host) grid, "
+                             "not a tracer; use method='xla' under jit.")
+        from .. import native
+        occ_np = np.asarray(occupancy, bool)
+        big = float(sum(s ** 2 for s in occ_np.shape) + 1)
+        sq = np.nan_to_num(native.edt_squared_cpp(occ_np), posinf=big)
+        dist = np.sqrt(sq, dtype=np.float32)
+        if signed:
+            sq_in = np.nan_to_num(native.edt_squared_cpp(~occ_np), posinf=big)
+            dist = dist - np.sqrt(sq_in, dtype=np.float32)
+        dist = jnp.asarray(dist * np.float32(resolution), dtype)
+        return Esdf(distance=dist,
+                    origin=jnp.asarray(origin, dtype),
+                    resolution=jnp.asarray(resolution, dtype))
+    if method != "xla":
+        raise ValueError(f"method must be 'auto', 'xla' or 'native', "
+                         f"got {method!r}")
+
     occ = jnp.asarray(occupancy, bool)
     big = jnp.asarray(float(sum(s ** 2 for s in occ.shape) + 1), dtype)
 

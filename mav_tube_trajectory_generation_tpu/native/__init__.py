@@ -85,3 +85,61 @@ def solve_linear_cpp(fixed_mask: np.ndarray, values: np.ndarray,
     if status != 0:
         raise RuntimeError(f"mtg_solve_linear failed with status {status}")
     return out.reshape(v - 1, n, dim)
+
+
+# ---------------------------------------------------------------------------
+# Exact O(n) EDT (Felzenszwalb lower envelope), edt.cpp -- the big-map ESDF
+# builder (models/esdf.esdf_from_occupancy dispatches here for host arrays).
+# ---------------------------------------------------------------------------
+
+_EDT_SRC = os.path.join(os.path.dirname(__file__), "edt.cpp")
+_EDT_LIB = os.path.join(os.path.dirname(__file__), "_libedt.so")
+
+_edt_lib: Optional[ctypes.CDLL] = None
+
+
+def load_edt() -> ctypes.CDLL:
+    """Compile (if needed) and load the EDT library."""
+    global _edt_lib
+    if _edt_lib is not None:
+        return _edt_lib
+    if (not os.path.exists(_EDT_LIB)
+            or os.path.getmtime(_EDT_LIB) < os.path.getmtime(_EDT_SRC)):
+        base = ["g++", "-O3", "-shared", "-fPIC", "-o", _EDT_LIB, _EDT_SRC]
+        try:
+            subprocess.run(base[:1] + ["-fopenmp"] + base[1:],
+                           check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(base, check=True, capture_output=True)
+    lib = ctypes.CDLL(_EDT_LIB)
+    lib.mtg_edt_sq.restype = ctypes.c_int
+    lib.mtg_edt_sq.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+    ]
+    _edt_lib = lib
+    return lib
+
+
+def edt_available() -> bool:
+    try:
+        load_edt()
+        return True
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def edt_squared_cpp(mask: np.ndarray) -> np.ndarray:
+    """Exact squared EDT (voxel units) to the nearest True voxel of a 3-D
+    mask; rows/planes with no feature voxel at all come back +inf."""
+    lib = load_edt()
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    if mask.ndim != 3:
+        raise ValueError("edt_squared_cpp expects a 3-D mask")
+    out = np.empty(mask.shape, dtype=np.float32)
+    status = lib.mtg_edt_sq(mask.shape[0], mask.shape[1], mask.shape[2],
+                            mask.ravel(), out.ravel())
+    if status != 0:
+        raise RuntimeError(f"mtg_edt_sq failed with status {status}")
+    return out

@@ -79,3 +79,41 @@ def test_obstacle_grid_helper():
                                   boxes=[((0.3, 0.3, 0.3), (0.5, 0.5, 0.5))])
     assert occ[4, 4, 4]
     assert not occ[9, 9, 9]
+
+
+def test_native_edt_matches_xla():
+    """The O(n) C++ Felzenszwalb builder (native/edt.cpp) must agree with
+    the in-graph XLA min-plus EDT exactly (both are exact transforms) --
+    non-cubic shape on purpose (a stride bug once survived cubic tests)."""
+    from mav_tube_trajectory_generation_tpu import native
+    if not native.edt_available():
+        pytest.skip("C++ toolchain unavailable")
+    rng = np.random.RandomState(3)
+    occ = rng.rand(23, 17, 31) < 0.03
+    occ[4, 5, 6] = True
+    f_xla = esdf.esdf_from_occupancy(occ, (0, 0, 0), 0.1, method="xla")
+    f_nat = esdf.esdf_from_occupancy(occ, (0, 0, 0), 0.1, method="native")
+    np.testing.assert_array_equal(np.asarray(f_xla.distance),
+                                  np.asarray(f_nat.distance))
+    # Unsigned variant too.
+    f_xla_u = esdf.esdf_from_occupancy(occ, (0, 0, 0), 0.1, method="xla",
+                                       signed=False)
+    f_nat_u = esdf.esdf_from_occupancy(occ, (0, 0, 0), 0.1, method="native",
+                                       signed=False)
+    np.testing.assert_array_equal(np.asarray(f_xla_u.distance),
+                                  np.asarray(f_nat_u.distance))
+
+
+def test_native_edt_bruteforce_oracle():
+    from mav_tube_trajectory_generation_tpu import native
+    if not native.edt_available():
+        pytest.skip("C++ toolchain unavailable")
+    rng = np.random.RandomState(1)
+    occ = rng.rand(9, 8, 7) < 0.08
+    occ[2, 3, 4] = True
+    sq = native.edt_squared_cpp(occ)
+    pts = np.argwhere(occ)
+    idx = np.stack(np.meshgrid(*[np.arange(s) for s in occ.shape],
+                               indexing="ij"), -1)
+    brute = ((idx[..., None, :] - pts[None, None, None]) ** 2).sum(-1).min(-1)
+    np.testing.assert_array_equal(sq, brute.astype(np.float32))
