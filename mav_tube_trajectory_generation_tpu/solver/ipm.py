@@ -352,9 +352,26 @@ def solve_qcqp_ipm(structure: ProblemStructure,
     c_last, _ = constraint_values(x_last)   # certificate at the LAST iterate
     farkas = (jnp.sum(lam_fin * c_last)
               / jnp.maximum(jnp.sum(lam_fin), 1e-30))
-    infeasible = ((prim_res > 10.0 * config.eps_feas)
-                  & (growth > config.infeas_growth)
-                  & (farkas > config.eps_feas))
+    dyn_infeasible = ((prim_res > 10.0 * config.eps_feas)
+                      & (growth > config.infeas_growth)
+                      & (farkas > config.eps_feas))
+    # Static certificate: a constraint row with (numerically) zero Jacobian
+    # is a CONSTANT -- e.g. tube constraints on the first segment's leading
+    # control points, which depend only on the *fixed* start state.  A
+    # violated constant row proves infeasibility in closed form, and no
+    # iterative certificate can: its un-satisfiable slack collapses the
+    # fraction-to-boundary step, freezing the multipliers instead of letting
+    # them diverge along a Farkas direction.  (Raw, unequilibrated tensors:
+    # the row-scale clip would hide exactly these rows.)
+    ball_jac = jnp.sqrt(jnp.sum(cons.g_ball ** 2, axis=(1, 2, 3)))
+    ball_const = jnp.linalg.norm(cons.b_ball, axis=1)
+    half_jac = jnp.sqrt(jnp.sum(cons.g_half ** 2, axis=(1, 2)))
+    static_infeasible = (
+        jnp.any((ball_jac < 1e-9 * (1.0 + ball_const))
+                & (ball_const - cons.r_ball > config.eps_feas))
+        | jnp.any((half_jac < 1e-9 * (1.0 + jnp.abs(cons.b_half)))
+                  & (cons.b_half > config.eps_feas)))
+    infeasible = static_infeasible | dyn_infeasible
 
     d_free = x_fin.reshape(n_free, dim) * d_scale[:, None]
     sol = linear.solve_linear_with_free(structure, d_fixed, d_free, times)

@@ -804,7 +804,9 @@ def solve_qcqp(structure: ProblemStructure,
                waypoints: jnp.ndarray,
                radii: jnp.ndarray,
                config: ADMMConfig = ADMMConfig(),
-               x0: Optional[jnp.ndarray] = None) -> QCQPSolution:
+               x0: Optional[jnp.ndarray] = None,
+               warmstart_positions: Optional[jnp.ndarray] = None
+               ) -> QCQPSolution:
     """Solve one tube-constrained QCQP scenario (vmap over a batch for many;
     prefer ``solve_qcqp_batch`` for large Pallas-path batches -- it blocks
     scenarios per kernel instance to hide iteration latency).
@@ -814,8 +816,14 @@ def solve_qcqp(structure: ProblemStructure,
     family (``free_interior_mask``): start/goal fully fixed, interior vertex
     derivatives all free, positions confined by the sphere/tube geometry.
 
+    ``warmstart_positions`` (V-2, D): interior waypoint positions for the
+    position-constrained warm start (computeInitialSolutionWithPosition-
+    Constraints, nonlinear_impl.h:199-272) -- mutually exclusive with x0.
+
     Returns QCQPSolution with per-scenario convergence status (never aborts).
     """
+    if x0 is not None and warmstart_positions is not None:
+        raise ValueError("pass x0 or warmstart_positions, not both")
     dtype = jnp.result_type(d_fixed, times)
     d_fixed = jnp.asarray(d_fixed, dtype)
     times = jnp.asarray(times, dtype)
@@ -830,7 +838,8 @@ def solve_qcqp(structure: ProblemStructure,
     if config.use_pallas:
         layout = _flagship_layout(structure)
         pre = _pallas_pre(structure, d_fixed, times, waypoints, radii,
-                          config, x0, layout)
+                          config, x0, layout,
+                          warmstart_positions=warmstart_positions)
         (x_fin, _, u_fin, y_fin, rho, prim_res, dual_res) = (
             jax.tree.map(lambda a: a[0], _run_stages_pallas(
                 config, pre.gt[None], pre.b_pad[None], pre.rb[None], layout,
@@ -842,7 +851,8 @@ def solve_qcqp(structure: ProblemStructure,
                             dtype)
 
     p_eq, q_eq, d_scale, x_init = _objective_blocks(
-        structure, d_fixed, times, config, x0, dtype)
+        structure, d_fixed, times, config, x0, dtype,
+        warmstart_positions=warmstart_positions)
     p_big = jnp.kron(p_eq, jnp.eye(dim, dtype=dtype))
     eye_kkt = jnp.eye(nfd, dtype=dtype)
     q_flat = q_eq.reshape(nfd)
@@ -969,6 +979,13 @@ def solve_qcqp_batch(structure: ProblemStructure,
     if x0 is not None and warmstart_values is not None:
         raise ValueError("pass x0 or warmstart_values, not both")
     if not config.use_pallas:
+        if warmstart_values is not None:
+            wv_d = jnp.asarray(warmstart_values,
+                               jnp.result_type(d_fixed, times))
+            return jax.vmap(lambda df, t, w, r, wv: solve_qcqp(
+                structure, df, t, w, r, config,
+                warmstart_positions=wv[1:-1, 0, :]))(
+                d_fixed, times, waypoints, radii, wv_d)
         return jax.vmap(lambda df, t, w, r, xx: solve_qcqp(
             structure, df, t, w, r, config, xx))(
             d_fixed, times, waypoints, radii, x0)

@@ -498,3 +498,23 @@ def test_admm_config_validation():
         qcqp.ADMMConfig(kkt_apply="fctored")
     with pytest.raises(ValueError, match="kkt_inverse"):
         qcqp.ADMMConfig(kkt_inverse="cholsky")
+
+
+def test_ipm_static_infeasibility_certificate():
+    """A violated CONSTANT constraint row (zero Jacobian: the first
+    segment's leading control points depend only on the fixed start state)
+    stalls the fraction-to-boundary step, so the dynamic Farkas certificate
+    cannot fire; the closed-form static certificate must."""
+    from mav_tube_trajectory_generation_tpu.solver import ipm
+    structure, d_fixed, times, waypoints, _ = make_problem(k=4, seed=3)
+    radii = jnp.full((structure.n_segments, 2), 0.3)
+    # Offset the fixed start position 5 radii off the corridor axis: the
+    # start-state control points now violate tube constraints structurally.
+    d_bad = jnp.asarray(np.asarray(d_fixed).copy())
+    d_bad = d_bad.at[0, :].add(jnp.asarray([0.0, 1.5, 0.0]))
+    s = ipm.solve_qcqp_ipm(structure, d_bad, times, waypoints, radii)
+    assert not bool(s.converged)
+    assert bool(s.infeasible)
+    # The unperturbed problem stays feasible, certificate silent.
+    s_ok = ipm.solve_qcqp_ipm(structure, d_fixed, times, waypoints, radii)
+    assert not bool(s_ok.infeasible)
