@@ -1,12 +1,18 @@
-"""Throughput of the Mosek-accuracy path: ADMM warm solve + IPM polish
-(solver/ipm.solve_qcqp_polished) on the flagship 10-segment configuration.
+"""Throughput of the Mosek-accuracy path: ADMM warm solve + plane-layout
+IPM polish + feasibility snap (solver/ipm_lanes.solve_qcqp_polished_batch)
+on the flagship 10-segment configuration.
 
 The headline bench reports the pure-ADMM throughput config (~0.3% median
-optimality gap); this one prices the exact-optimum path (violations ~1e-9,
-cost at the interior-point optimum) for deployments that need Mosek parity
-per solve rather than statistical quality.
+optimality gap, ~1.5e-4 median violation); this one prices the strict path
+(violations in the 1e-6 class, cost at the interior-point optimum) for
+deployments that need Mosek parity per solve rather than statistical
+quality.
 
-Usage: python benchmarks/polished_bench.py [--batch=N]
+--rows runs the legacy row-layout IPM (solver/ipm.solve_qcqp_ipm) for
+comparison: it streams the constraint tensors ~8x per Newton step where the
+lanes path makes one fused Pallas pass (ops/ipm_kernel).
+
+Usage: python benchmarks/polished_bench.py [--batch=N] [--rows]
 """
 
 import sys
@@ -21,50 +27,49 @@ import jax.numpy as jnp
 
 def main():
     import bench
-    from mav_tube_trajectory_generation_tpu.solver import ipm, linear, qcqp
+    from mav_tube_trajectory_generation_tpu.solver import (ipm, ipm_lanes,
+                                                           linear, qcqp)
 
     k, batch = 10, 6144
+    rows = "--rows" in sys.argv
     for a in sys.argv:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
     (std, free, df_std, df_free, times, waypoints, radii,
      values) = bench.make_inputs(k, batch)
 
-    std_col = {tuple(c): i for i, c in enumerate(std.fixed_cols)}
-    std_col.update({tuple(c): std.n_fixed + i
-                    for i, c in enumerate(std.free_cols)})
-    warm_idx = np.asarray([std_col[tuple(c)] for c in free.free_cols],
-                          dtype=np.int32)
     admm = qcqp.ADMMConfig(rho=0.005, n_stages=1, n_iters=48,
                            rho_tube_factor=0.125, rho_half_factor=0.125,
                            use_pallas=True)
-    n_ipm = 10
-    for a in sys.argv:
-        if a.startswith("--ipm-iters="):
-            n_ipm = int(a.split("=")[1])
-    ipm_cfg = ipm.IPMConfig(n_iters=n_ipm)
 
-    def full_solve(df_std_b, df_free_b, times_b, waypoints_b, radii_b):
-        def warm(df_s, t):
-            lin = linear.solve_linear(std, df_s, t, method="schur")
-            d_all = jnp.concatenate([lin.d_fixed, lin.d_free], axis=-2)
-            return jnp.take(d_all, jnp.asarray(warm_idx), axis=-2)
-        x0 = jax.vmap(warm)(df_std_b, times_b)
-        a = qcqp.solve_qcqp_batch(free, df_free_b, times_b, waypoints_b,
-                                  radii_b, config=admm, x0=x0,
-                                  scenario_block=4)
-        # Primal AND dual warm start from an interior-inflated slack point
-        # (IPMConfig.warm_s_min): 10 Newton steps reach the exact optimum
-        # with ~1e-6 max violation (f64; see the warm-start notes in ipm.py).
-        pol = jax.vmap(lambda d1, d2, d3, d4, d5, d6, d7: ipm.solve_qcqp_ipm(
-            free, d1, d2, d3, d4, config=ipm_cfg, x0=d5,
-            lam0_ball=d6, lam0_half=d7))(
-            df_free_b, times_b, waypoints_b, radii_b, a.d_free,
-            a.dual_ball, a.dual_half)
-        return pol.cost, pol.max_violation, a.cost
+    if rows:
+        n_ipm = 10
+        for a in sys.argv:
+            if a.startswith("--ipm-iters="):
+                n_ipm = int(a.split("=")[1])
+        ipm_cfg = ipm.IPMConfig(n_iters=n_ipm)
+
+        def full_solve(df_free_b, times_b, waypoints_b, radii_b, values_b):
+            a = qcqp.solve_qcqp_batch(free, df_free_b, times_b, waypoints_b,
+                                      radii_b, config=admm,
+                                      warmstart_values=values_b,
+                                      scenario_block=4)
+            pol = jax.vmap(lambda *xs: ipm.solve_qcqp_ipm(
+                free, xs[0], xs[1], xs[2], xs[3], config=ipm_cfg, x0=xs[4],
+                lam0_ball=xs[5], lam0_half=xs[6]))(
+                df_free_b, times_b, waypoints_b, radii_b, a.d_free,
+                a.dual_ball, a.dual_half)
+            return pol.cost, pol.max_violation, a.cost
+    else:
+        def full_solve(df_free_b, times_b, waypoints_b, radii_b, values_b):
+            pol = ipm_lanes.solve_qcqp_polished_batch(
+                free, df_free_b, times_b, waypoints_b, radii_b,
+                admm_config=admm, warmstart_values=values_b,
+                scenario_block=4)
+            return pol.cost, pol.max_violation, pol.cost
 
     f = jax.jit(full_solve)
-    args = (df_std, df_free, times, waypoints, radii)
+    args = (df_free, times, waypoints, radii, values)
     out = f(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -72,17 +77,14 @@ def main():
         out = f(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / 5
-    cost, viol, admm_cost = out
-    # The IPM lands strictly INSIDE the feasible set (interior point); the
-    # ADMM iterate rides the boundary with small violations, so its cost is
-    # slightly lower -- the delta prices true feasibility, not suboptimality.
-    delta = (np.asarray(cost) - np.asarray(admm_cost)) / np.asarray(admm_cost)
-    n_feas = int(np.sum(np.asarray(viol) < 1e-4))
-    print(f"[polished] ADMM+IPM: {dt*1e3:.1f} ms/batch of {batch}; "
+    cost, viol, _ = out
+    viol = np.asarray(viol)
+    n_feas = int(np.sum(viol < 1e-4))
+    tag = "rows" if rows else "lanes"
+    print(f"[polished:{tag}] ADMM+IPM: {dt*1e3:.1f} ms/batch of {batch}; "
           f"{batch/dt:,.0f} solves/s; {n_feas}/{batch} strictly feasible "
-          f"(viol < 1e-4; median {float(jnp.median(viol)):.1e}, p99 "
-          f"{float(jnp.percentile(viol, 99)):.1e}); median cost of "
-          f"feasibility {float(np.median(delta))*100:+.2f}%", flush=True)
+          f"(viol < 1e-4; median {float(np.median(viol)):.1e}, p99 "
+          f"{float(np.percentile(viol, 99)):.1e})", flush=True)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,8 @@ from .solver.qcqp import (ADMMConfig, QCQPSolution, solve_qcqp,
                           solve_qcqp_batch, position_constrained_warmstart)
 from .solver.banded import solve_linear_banded, block_tridiag_solve
 from .solver.ipm import IPMConfig, solve_qcqp_ipm, solve_qcqp_polished
+from .solver.ipm_lanes import (solve_qcqp_ipm_lanes,
+                               solve_qcqp_polished_batch)
 from .solver.nonlinear import (Objective, CostWeights, MagnitudeConstraint,
                                NonlinearParameters, NonlinearResult,
                                optimize, optimize_time_gradient)

@@ -1,1 +1,1 @@
-from . import structure, linear, banded, qcqp, ipm, nonlinear
+from . import structure, linear, banded, qcqp, ipm, ipm_lanes, nonlinear

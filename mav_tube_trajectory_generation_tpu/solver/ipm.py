@@ -84,6 +84,28 @@ class IPMConfig:
     # mu0 = warm_mu_boost * mean(s lam).
     warm_beta: float = 10.0
     warm_mu_boost: float = 1.0
+    # float32-endgame safeguards (plane-layout path, solver/ipm_lanes.py):
+    # centering floor, fraction-to-boundary step cap, and complementarity-
+    # weight cap.  Unrestricted Mehrotra steps drive mu below what f32 can
+    # resolve (r2 = c + s noise x w = lam/s spanning ~7 decades) and the
+    # Newton directions blow up; these bound the per-step mu decrease and
+    # the Newton system's condition number.  The rows-layout path keeps the
+    # classic aggressive schedule (sigma >= 1e-4, uncapped alpha, w <= 1e10)
+    # for f64 ground-truth use.
+    sigma_min: float = 0.1
+    alpha_max: float = 1.0
+    w_cap: float = 1e6
+    # Post-IPM feasibility snap (lanes path): Gauss-Newton sweeps on the
+    # violated rows only (branch-stable), repairing the f32 endgame's
+    # violation tail at O(violation)-sized, second-order-in-cost moves.
+    snap_iters: int = 2
+    snap_rho: float = 1e4
+    # Mehrotra predictor-corrector toggle (lanes path).  False = single
+    # direction per step with fixed centering sigma = sigma_min: drops one
+    # factored solve + one G dx matvec per step.  With the sigma floor
+    # already bounding the centering schedule and the snap repairing the
+    # tail, the corrector's adaptive sigma buys little on warm starts.
+    corrector: bool = True
     # Hessian inverse backend: "schur" (matmul-only recursive block Schur,
     # no Cholesky custom call) or "cholesky".  Both are explicit inverses
     # with the same cond*eps forward-error class; schur avoids the custom
