@@ -273,6 +273,328 @@ def _ipm_eval_step_jit(gt, b, rb, x, s, lam, *, nb_p: int, n_ball: int,
     )(gt, b, rb, x, s, lam)
 
 
+def _gj_inverse(m):
+    """(S, b, b) SPD inverse via Gauss-Jordan on the augmented [M | I]
+    tile -- diagonal pivoting (no row swaps: the callers feed equilibrated
+    SPD pivot blocks).  Pure jnp ops, fully unrolled over the b pivots, so
+    it lowers inside a Pallas kernel (no linalg custom calls exist there).
+    """
+    s, bb, _ = m.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, bb, 1), 1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * bb), 2)
+    eye_aug = (col2 - bb == row).astype(m.dtype)          # right half = I
+    aug = jnp.concatenate([m, jnp.zeros_like(m)], axis=2) + eye_aug
+    for p in range(bb):
+        piv = aug[:, p:p + 1, :]                          # (S, 1, 2b)
+        piv = piv / piv[:, :, p:p + 1]
+        colv = aug[:, :, p:p + 1]                         # (S, b, 1)
+        elim = jnp.where(row == p, 0.0, colv)
+        aug = jnp.where(row == p, piv, aug - elim * piv)
+    return aug[:, :, bb:]
+
+
+def _dot_t(a, b):
+    """Per-batch a^T @ b for stacked (S, r, n) x (S, r, m) -> (S, n, m):
+    contraction over the ROW dim of both -- a transposed matmul with no
+    explicit (relayout-costly) transpose."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _sdot3(a, b):
+    """Per-scenario stacked (S, n, k) @ (S, k, m), unrolled over S (the
+    ADMM kernel's _sdot idiom)."""
+    return jnp.stack([
+        jax.lax.dot(a[i], b[i], precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        for i in range(a.shape[0])], axis=0)
+
+
+def _band_factor_solve(gram, pe_d, pe_u, reg, rhs, blk: int):
+    """Equilibrated block-Thomas factor + single-column solve, all in VMEM.
+
+    H = blocktridiag(pe_d + gram_diag + reg*I, pe_u + gram_super) is
+    Jacobi-equilibrated (D H D with D = diag(rsqrt(diag H)) -- the same
+    scheme as solver/ipm_lanes._equilibrated_band_solve, which measured the
+    unscaled f32 factor flipping dx to an ascent direction on stiff active
+    sets), factored level by level with Gauss-Jordan pivot-block inverses,
+    and applied to ``rhs`` (S, nfd, 1).  Returns dx (S, nfd, 1).
+
+    gram: (S, nfd, nfd).  pe_d: (S, m, blk, blk).  pe_u: (S, m-1, blk, blk).
+    """
+    s, nfd, _ = gram.shape
+    m_blk = nfd // blk
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, blk, 1), 1)
+    colb = jax.lax.broadcasted_iota(jnp.int32, (1, 1, blk), 2)
+    eye_b = (row == colb).astype(gram.dtype)
+
+    hd, hu, dsc = [], [], []
+    for i in range(m_blk):
+        h_i = (gram[:, i * blk:(i + 1) * blk, i * blk:(i + 1) * blk]
+               + pe_d[:, i] + reg * eye_b)
+        diag = jnp.sum(h_i * eye_b, axis=2, keepdims=True)   # (S, blk, 1)
+        d_i = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+        dsc.append(d_i)
+        hd.append(h_i * d_i * jnp.swapaxes(d_i, 1, 2))
+    for i in range(m_blk - 1):
+        hu.append((gram[:, i * blk:(i + 1) * blk,
+                        (i + 1) * blk:(i + 2) * blk] + pe_u[:, i])
+                  * dsc[i] * jnp.swapaxes(dsc[i + 1], 1, 2))
+
+    sinv = [None] * m_blk
+    w_f = [None] * (m_blk - 1)
+    s_cur = hd[0]
+    for i in range(m_blk):
+        sinv[i] = _gj_inverse(s_cur)
+        if i + 1 < m_blk:
+            w_f[i] = _sdot3(sinv[i], hu[i])                # S_i^{-1} U_i
+            s_cur = hd[i + 1] - _dot_t(hu[i], w_f[i])
+
+    # Solve (on the equilibrated system: scale rhs, unscale dx).
+    z = [None] * m_blk
+    for i in range(m_blk):
+        r_i = rhs[:, i * blk:(i + 1) * blk, :] * dsc[i]
+        if i:
+            r_i = r_i - _dot_t(hu[i - 1], z[i - 1])
+        z[i] = _sdot3(sinv[i], r_i)
+    x_p = [None] * m_blk
+    x_p[m_blk - 1] = z[m_blk - 1]
+    for i in range(m_blk - 2, -1, -1):
+        x_p[i] = z[i] - _sdot3(w_f[i], x_p[i + 1])
+    return jnp.concatenate([x_p[i] * dsc[i] for i in range(m_blk)], axis=1)
+
+
+def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
+                  x0_ref, s0_ref, lam0_ref, y0_ref, act_ref, cw_ref,
+                  x_fin_out, y_fin_out, s_out, lam_out, y_last_out,
+                  merit_out, lam_mid_out, lam_fin_out,
+                  *, nb_p: int, n_ball: int, mc: int, n_iters: int,
+                  snap_iters: int, sigma_min: float, tau: float,
+                  alpha_max: float, w_cap: float, reg: float,
+                  snap_rho: float, blk: int):
+    """The WHOLE plane-layout IPM polish in one kernel: n_iters single-
+    direction Newton steps (fixed centering sigma_min, the production
+    corrector=False schedule of solve_qcqp_polished_batch) followed by
+    snap_iters Gauss-Newton feasibility sweeps, with G^T, the Gram, and the
+    block-Thomas factors VMEM-resident throughout.
+
+    The XLA formulation dispatches per Newton step one eval kernel, ~80
+    small batched ops for the band factor, two factored solves, and a
+    matvec kernel -- profiled latency-bound (the factor chain dominates);
+    here the entire chain is one dispatch and G^T makes ONE HBM round trip
+    for the whole solve.  Math identical to solver/ipm_lanes's scan bodies.
+    """
+    gt = gt_ref[:]                        # (S, nfd, m_p)
+    b = b_ref[:]                          # (S, 1, m_p)
+    rb = rb_ref[:]                        # (S, 1, nb_p)
+    pe_d = pe_d_ref[:]                    # (S, m, blk, blk)
+    pe_u = pe_u_ref[:]                    # (S, m-1, blk, blk)
+    q = q_ref[:]                          # (S, nfd, 1)
+    act = act_ref[:]                      # (1, 1, m_p)
+    cw = cw_ref[:]                        # (1, 1, m_p)
+    s_blk, nfd, m_p = gt.shape
+    m_blk = nfd // blk
+    inf32 = jnp.float32(jnp.inf)
+
+    def p_big_mv(x):
+        out = []
+        for i in range(m_blk):
+            o = _sdot3(pe_d[:, i], x[:, i * blk:(i + 1) * blk, :])
+            if i + 1 < m_blk:
+                o = o + _sdot3(pe_u[:, i],
+                               x[:, (i + 1) * blk:(i + 2) * blk, :])
+            if i:
+                o = o + _dot_t(pe_u[:, i - 1],
+                               x[:, (i - 1) * blk:i * blk, :])
+            out.append(o)
+        return jnp.concatenate(out, axis=1)
+
+    def c_lanes(y):
+        yx = y[:, :, 0:nb_p]
+        yy = y[:, :, nb_p:2 * nb_p]
+        yz = y[:, :, 2 * nb_p:3 * nb_p]
+        cb = 0.5 * (yx * yx + yy * yy + yz * yz - rb * rb)
+        ball = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb_p), 2) < n_ball
+        parts = [jnp.where(ball, cb, yx), jnp.where(ball, cb, yy),
+                 jnp.where(ball, cb, yz)]
+        if m_p > 3 * nb_p:
+            parts.append(y[:, :, 3 * nb_p:])
+        return jnp.concatenate(parts, axis=2)
+
+    def jdx_lanes(gdx, y):
+        jb = (y[:, :, 0:nb_p] * gdx[:, :, 0:nb_p]
+              + y[:, :, nb_p:2 * nb_p] * gdx[:, :, nb_p:2 * nb_p]
+              + y[:, :, 2 * nb_p:3 * nb_p] * gdx[:, :, 2 * nb_p:3 * nb_p])
+        ball = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb_p), 2) < n_ball
+        parts = [jnp.where(ball, jb, gdx[:, :, c * nb_p:(c + 1) * nb_p])
+                 for c in range(3)]
+        if m_p > 3 * nb_p:
+            parts.append(gdx[:, :, 3 * nb_p:])
+        return jnp.concatenate(parts, axis=2)
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), inf32)
+        return jnp.minimum(1.0, tau * jnp.min(ratio, axis=2, keepdims=True))
+
+    def merit_lane(c, s, lam):
+        m1 = jnp.max(jnp.where(act > 0, jnp.maximum(c, 0.0), -inf32),
+                     axis=2, keepdims=True)
+        m2 = jnp.max(jnp.where(act > 0, jnp.abs(c + s), -inf32),
+                     axis=2, keepdims=True)
+        m3 = jnp.sum(cw * s * lam, axis=2, keepdims=True) / mc
+        return m1 + m2 + m3
+
+    def eval_grams(s_v, lam_v, x, w_cap_k, phr):
+        y, c, jtwr2, jts, lam_ball, aj, w_aj = _eval_core(
+            gt, b, rb, x, s_v, lam_v, nb_p=nb_p, n_ball=n_ball,
+            w_cap=w_cap_k, phr=phr)
+        gram = (_gram_dot(gt * lam_ball, gt, "highest")
+                + _gram_dot(aj * w_aj, aj, "highest"))
+        return y, c, jtwr2, jts, gram
+
+    def newton_body(it, carry):
+        x, s, lam, y, best_x, best_y, best_merit, lam_mid = carry
+        s = jnp.maximum(s, 1e-14) * act + (1.0 - act)
+        y_e, c, jtwr2, jts, gram = eval_grams(s, lam, x, w_cap, False)
+        r2 = (c + s) * act
+        w = jnp.minimum(lam / s, w_cap)
+        mu = jnp.sum(cw * s * lam, axis=2, keepdims=True) / mc
+        sig_mu = sigma_min * mu                            # (S, 1, 1)
+        rhs = -(p_big_mv(x) + q + jtwr2 + sig_mu * jts)
+        dx = _band_factor_solve(gram, pe_d, pe_u, reg, rhs, blk)
+        gdx = jnp.sum(gt * dx, axis=1, keepdims=True)      # (S, 1, m_p)
+        jdx = jdx_lanes(gdx, y_e)
+        ds = (-r2 - jdx) * act
+        dlam = ((sig_mu - lam * s) / s - w * ds) * act
+        alpha = jnp.minimum(jnp.minimum(max_step(s, ds),
+                                        max_step(lam, dlam)), alpha_max)
+        # Finite-direction gate (see ipm_lanes._finite_step_mask): a NaN
+        # direction yields a finite alpha, so check ds/dlam themselves.
+        fin = jnp.min(jnp.where((jnp.abs(ds) < inf32)
+                                & (jnp.abs(dlam) < inf32), 1.0, 0.0),
+                      axis=2, keepdims=True)
+        upd = (alpha > 0) & (fin > 0)
+        x = jnp.where(upd, x + alpha * dx, x)
+        s = jnp.where(upd, s + alpha * ds, s)
+        lam = jnp.where(upd & (act > 0),
+                        jnp.maximum(lam + alpha * dlam, 1e-16), lam)
+        y = jnp.where(upd, y + alpha * gdx, y)
+        c_new = c_lanes(y)
+        merit = merit_lane(c_new, s, lam)
+        better = merit < best_merit
+        best_x = jnp.where(better, x, best_x)
+        best_y = jnp.where(better, y, best_y)
+        best_merit = jnp.where(better, merit, best_merit)
+        max_lam = jnp.max(jnp.where(act > 0, lam, 0.0), axis=2,
+                          keepdims=True)
+        lam_mid = jnp.where(it == n_iters // 2, max_lam, lam_mid)
+        return x, s, lam, y, best_x, best_y, best_merit, lam_mid
+
+    x0 = x0_ref[:]
+    y0 = y0_ref[:]
+    init = (x0, s0_ref[:], lam0_ref[:], y0, x0, y0,
+            jnp.full((s_blk, 1, 1), jnp.inf, jnp.float32),
+            jnp.zeros((s_blk, 1, 1), jnp.float32))
+    (x_l, s_f, lam_f, y_l, best_x, best_y, best_merit, lam_mid) = \
+        jax.lax.fori_loop(0, n_iters, newton_body, init)
+
+    def phi(y_a):
+        c_a = c_lanes(y_a)
+        v = jnp.maximum(c_a, 0.0)
+        return jnp.sum(cw * v * v, axis=2, keepdims=True)
+
+    def snap_body(_, carry):
+        x, y = carry
+        c = c_lanes(y)
+        margin = 3.0 / snap_rho
+        lam_s = jnp.where((c > -margin) & (act > 0), 1e-6, 0.0)
+        s_s = lam_s / snap_rho
+        _, _, jtwr2, _, gram = eval_grams(s_s, lam_s, x, snap_rho, True)
+        dx = _band_factor_solve(gram, pe_d, pe_u, 1e-6, -jtwr2, blk)
+        gdx = jnp.sum(gt * dx, axis=1, keepdims=True)
+        best_a = jnp.zeros((s_blk, 1, 1), jnp.float32)
+        best_p = phi(y)
+        for a_t in (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003):
+            p_t = phi(y + a_t * gdx)
+            better = p_t < best_p
+            best_a = jnp.where(better, a_t, best_a)
+            best_p = jnp.where(better, p_t, best_p)
+        x = jnp.where(best_a > 0, x + best_a * dx, x)
+        y = jnp.where(best_a > 0, y + best_a * gdx, y)
+        return x, y
+
+    if snap_iters:
+        best_x, best_y = jax.lax.fori_loop(0, snap_iters, snap_body,
+                                           (best_x, best_y))
+
+    lam_fin_max = jnp.max(jnp.where(act > 0, lam_f, 0.0), axis=2,
+                          keepdims=True)
+    x_fin_out[:] = best_x
+    y_fin_out[:] = best_y
+    s_out[:] = s_f
+    lam_out[:] = lam_f
+    y_last_out[:] = y_l
+    merit_out[:] = best_merit
+    lam_mid_out[:] = lam_mid
+    lam_fin_out[:] = lam_fin_max
+
+
+def ipm_solve_fused(gt, b, rb, pe_d, pe_u, q, x0, s0, lam0, y0, act, cw, *,
+                    nb_p: int, n_ball: int, mc: int, n_iters: int,
+                    snap_iters: int, sigma_min: float, tau: float,
+                    alpha_max: float, w_cap: float, reg: float,
+                    snap_rho: float, blk: int, interpret=None):
+    """Whole-IPM fused kernel (see _solve_kernel).  All args S-blocked.
+
+    Returns (x_fin, y_fin, s_fin, lam_fin, y_last, best_merit, lam_mid,
+    lam_fin_max); the caller runs the certificate/output epilogue in XLA.
+    """
+    return _ipm_solve_fused_jit(
+        gt, b, rb, pe_d, pe_u, q, x0, s0, lam0, y0, act, cw, nb_p=nb_p,
+        n_ball=n_ball, mc=mc, n_iters=n_iters, snap_iters=snap_iters,
+        sigma_min=sigma_min, tau=tau, alpha_max=alpha_max, w_cap=w_cap,
+        reg=reg, snap_rho=snap_rho, blk=blk,
+        interpret=_resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nb_p", "n_ball", "mc", "n_iters", "snap_iters", "sigma_min", "tau",
+    "alpha_max", "w_cap", "reg", "snap_rho", "blk", "interpret"))
+def _ipm_solve_fused_jit(gt, b, rb, pe_d, pe_u, q, x0, s0, lam0, y0, act,
+                         cw, *, nb_p: int, n_ball: int, mc: int,
+                         n_iters: int, snap_iters: int, sigma_min: float,
+                         tau: float, alpha_max: float, w_cap: float,
+                         reg: float, snap_rho: float, blk: int,
+                         interpret: bool):
+    s_blk, nfd, m_p = gt.shape
+    kernel = functools.partial(
+        _solve_kernel, nb_p=nb_p, n_ball=n_ball, mc=mc, n_iters=n_iters,
+        snap_iters=snap_iters, sigma_min=sigma_min, tau=tau,
+        alpha_max=alpha_max, w_cap=w_cap, reg=reg, snap_rho=snap_rho,
+        blk=blk)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row = jax.ShapeDtypeStruct((s_blk, 1, m_p), jnp.float32)
+    one = jax.ShapeDtypeStruct((s_blk, 1, 1), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((s_blk, nfd, 1), jnp.float32),  # x_fin
+            row,                                                 # y_fin
+            row,                                                 # s_fin
+            row,                                                 # lam_fin
+            row,                                                 # y_last
+            one,                                                 # merit
+            one,                                                 # lam_mid
+            one,                                                 # lam_fin
+        ),
+        in_specs=[vmem] * 12,
+        out_specs=(vmem,) * 8,
+        interpret=interpret,
+    )(gt, b, rb, pe_d, pe_u, q, x0, s0, lam0, y0, act, cw)
+
+
 def _matvec_kernel(gt_ref, x_ref, out_ref):
     out_ref[:] = jnp.sum(gt_ref[:] * x_ref[:], axis=1, keepdims=True)
 

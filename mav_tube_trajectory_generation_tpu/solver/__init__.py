@@ -1,1 +1,1 @@
-from . import structure, linear, banded, qcqp, ipm, ipm_lanes, nonlinear
+from . import structure, linear, banded, qcqp, ipm, ipm_lanes, auto, nonlinear

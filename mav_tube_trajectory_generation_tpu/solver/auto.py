@@ -1,0 +1,182 @@
+"""Production verdict router: ADMM gate + selective IPM escalation.
+
+The reference returns Mosek's interior-point verdict at every corridor
+width (qcqp_impl.h:709-788).  The TPU headline path (48-iteration warm-
+started ADMM, solver/qcqp.solve_qcqp_batch) matches that verdict >=98% of
+the time on generous corridors but is CONSERVATIVE on tight ones: the
+fixed first-order iteration budget stops short of the 1e-2 feasibility
+gate on scenarios an interior-point method solves fine (measured:
+agreement 65% at radii 0.3-0.5, ~17% below 0.3 -- every disagreement a
+gate MISS, never a false-feasible; benchmarks/verdict_parity_results.json).
+
+``solve_qcqp_auto`` closes that gap the way a production deployment
+should: every scenario gets the throughput ADMM solve, and ONLY the
+scenarios failing the gate are re-solved by the plane-layout IPM polish
+(solver/ipm_lanes), warm-started from their ADMM iterate.  On generous
+corridors <1% escalate and the blended throughput is ~the headline's; on
+tight corridors the verdict quality is the IPM's everywhere.
+
+Escalation is a host-gathered second fixed-shape batch: the gate mask is
+pulled to the host, failure indices gathered, padded to a power-of-two
+bucket (a handful of compiled program shapes, no dynamic shapes inside
+jit), solved, and scattered back.  This is the deliberate jit boundary --
+the verdict decides a DIFFERENT PROGRAM per scenario, which is host
+control flow by nature (the reference's analogue: the Mosek status switch,
+qcqp_impl.h:715-770).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ipm_lanes
+from .ipm import IPMConfig
+from .qcqp import ADMMConfig, QCQPSolution
+from .structure import ProblemStructure
+
+#: Verdict codes (int8): +1 feasible, -1 infeasible (certificate), 0
+#: undetermined (neither a feasible point to tolerance nor a certificate --
+#: near-degenerate corridors; the reference would surface Mosek's
+#: MSK_SOL_STA_UNKNOWN here).
+FEASIBLE = np.int8(1)
+INFEASIBLE = np.int8(-1)
+UNDETERMINED = np.int8(0)
+
+
+class AutoResult(NamedTuple):
+    solution: QCQPSolution        # merged batch (ADMM or escalated-IPM rows)
+    verdict: np.ndarray           # (B,) int8: +1 / -1 / 0 (see module codes)
+    escalated: np.ndarray         # (B,) bool: row was re-solved by the IPM
+    n_escalated: int
+
+
+def _bucket(n: int, block: int) -> int:
+    """Smallest power-of-two multiple of ``block`` >= n (bounded program
+    count: at most log2(B) escalation shapes ever compile)."""
+    b = block
+    while b < n:
+        b *= 2
+    return b
+
+
+def solve_qcqp_auto(structure: ProblemStructure,
+                    d_fixed: jnp.ndarray,
+                    times: jnp.ndarray,
+                    waypoints: jnp.ndarray,
+                    radii: jnp.ndarray,
+                    admm_config: Optional[ADMMConfig] = None,
+                    ipm_config: Optional[IPMConfig] = None,
+                    warmstart_values: Optional[jnp.ndarray] = None,
+                    gate: float = 1e-2,
+                    strict_gate: float = 1e-4,
+                    scenario_block: int = 4,
+                    interpret=None) -> AutoResult:
+    """Batched tube-QCQP solve with Mosek-grade verdicts at every corridor
+    width (ALL array args carry a leading batch axis).
+
+    Pipeline: throughput ADMM on the full batch; scenarios with
+    ``max_violation >= gate`` are gathered and re-solved by the warm-started
+    plane-layout IPM (ipm_lanes.solve_qcqp_ipm_lanes).  Per-scenario
+    verdicts follow the parity study's semantics
+    (benchmarks/verdict_parity.py): feasible by exhibition
+    (violation < ``strict_gate`` after escalation, < ``gate`` from the ADMM
+    gate), infeasible by the IPM's static/Farkas certificate, else
+    undetermined.
+
+    Returns an AutoResult; ``solution`` rows of escalated scenarios are the
+    IPM's, everything else the ADMM's.
+    """
+    from . import qcqp as qcqp_mod
+    if admm_config is None:
+        admm_config = ADMMConfig(rho=0.005, n_stages=1, n_iters=48,
+                                 rho_tube_factor=0.125,
+                                 rho_half_factor=0.125, use_pallas=True)
+    if ipm_config is None:
+        ipm_config = IPMConfig(n_iters=10, sigma_min=0.3, corrector=False)
+
+    a = qcqp_mod.solve_qcqp_batch(structure, d_fixed, times, waypoints,
+                                  radii, config=admm_config,
+                                  warmstart_values=warmstart_values,
+                                  scenario_block=scenario_block)
+    bsz = int(a.cost.shape[0])
+    a_viol = np.asarray(a.max_violation)
+    gate_ok = a_viol < gate
+
+    verdict = np.where(gate_ok, FEASIBLE, UNDETERMINED).astype(np.int8)
+    escalated = ~gate_ok
+    idx = np.nonzero(escalated)[0]
+    n_esc = int(idx.size)
+    if n_esc == 0:
+        return AutoResult(solution=a, verdict=verdict,
+                          escalated=escalated, n_escalated=0)
+
+    # Fixed-shape escalation batch: pad the gathered indices to a bucketed
+    # size by repeating the last failure (valid data; extra rows discarded).
+    nb = _bucket(n_esc, scenario_block)
+    idx_pad = np.concatenate([idx, np.full(nb - n_esc, idx[-1],
+                                           dtype=idx.dtype)])
+    gather = lambda arr: jnp.asarray(arr)[jnp.asarray(idx_pad)]
+    polished = ipm_lanes.solve_qcqp_ipm_lanes(
+        structure, gather(d_fixed), gather(times), gather(waypoints),
+        gather(radii), config=ipm_config,
+        x0=a.d_free[jnp.asarray(idx_pad)],
+        lam0_ball=a.dual_ball[jnp.asarray(idx_pad)],
+        lam0_half=a.dual_half[jnp.asarray(idx_pad)],
+        scenario_block=scenario_block, interpret=interpret)
+
+    take = jax.tree_util.tree_map(lambda arr: arr[:n_esc], polished)
+
+    # Tier 2: rows the f32 lanes polish leaves above the strict gate without
+    # an infeasibility certificate -- on tight corridors the f32 endgame
+    # stalls where an f64 interior point converges (measured: f64
+    # ADMM-warm-started rows IPM reaches <1e-4 on every r=0.12 fixture the
+    # f32 path leaves at ~1e-2).  Re-solve just those in f64
+    # (ipm.solve_qcqp_polished, the parity study's ground-truth recipe, so
+    # router verdicts match it by construction).  Requires jax_enable_x64;
+    # without it the tier-1 verdict stands (conservative: UNDETERMINED rows
+    # stay undetermined, never false-feasible).
+    t1_viol = np.asarray(take.max_violation)
+    t1_inf = np.asarray(take.infeasible)
+    need2 = (t1_viol >= strict_gate) & ~t1_inf
+    if need2.any() and jax.config.read("jax_enable_x64"):
+        from .ipm import solve_qcqp_polished
+        sub = np.nonzero(need2)[0]
+        gidx = idx[sub]
+        f64 = jnp.float64
+        pol64 = jax.jit(jax.vmap(lambda d1, d2, d3, d4: solve_qcqp_polished(
+            structure, d1, d2, d3, d4,
+            ipm_config=IPMConfig(n_iters=30))))(
+            jnp.asarray(d_fixed, f64)[jnp.asarray(gidx)],
+            jnp.asarray(times, f64)[jnp.asarray(gidx)],
+            jnp.asarray(waypoints, f64)[jnp.asarray(gidx)],
+            jnp.asarray(radii, f64)[jnp.asarray(gidx)])
+        take = QCQPSolution(*(
+            (tf if pf is None else
+             jnp.asarray(tf).at[jnp.asarray(sub)].set(
+                 jnp.asarray(pf, jnp.asarray(tf).dtype)))
+            for tf, pf in zip(take, pol64)))
+
+    # Scatter the escalated rows back (host-side: the batch already crossed
+    # the jit boundary for the gate decision).
+    idx_j = jnp.asarray(idx)
+
+    def merge(a_field, p_field):
+        if a_field is None or p_field is None:
+            return a_field
+        return jnp.asarray(a_field).at[idx_j].set(
+            jnp.asarray(p_field, jnp.asarray(a_field).dtype))
+
+    merged = QCQPSolution(*(merge(af, pf) for af, pf in zip(a, take)))
+
+    p_viol = np.asarray(take.max_violation)
+    p_inf = np.asarray(take.infeasible)
+    v_esc = np.where(p_viol < strict_gate, FEASIBLE,
+                     np.where(p_inf, INFEASIBLE, UNDETERMINED)).astype(
+        np.int8)
+    verdict[idx] = v_esc
+    return AutoResult(solution=merged, verdict=verdict,
+                      escalated=escalated, n_escalated=n_esc)

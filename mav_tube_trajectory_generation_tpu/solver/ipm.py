@@ -106,6 +106,17 @@ class IPMConfig:
     # already bounding the centering schedule and the snap repairing the
     # tail, the corrector's adaptive sigma buys little on warm starts.
     corrector: bool = True
+    # Weighted-Gram matmul precision inside the lanes kernel
+    # (ops/ipm_kernel.ipm_eval_step).
+    gram_precision: str = "highest"
+    # Lanes path: run the ENTIRE polish (Newton scan + snap) as one fused
+    # Pallas kernel (ops/ipm_kernel.ipm_solve_fused) -- G^T, the Gram, and
+    # the block-Thomas factors stay VMEM-resident for the whole solve
+    # instead of re-dispatching an eval kernel + ~80 small band-factor ops
+    # + a matvec kernel per Newton step.  Requires corrector=False (the
+    # production schedule); the scan path remains for corrector=True and
+    # as the reference implementation.
+    fused: bool = False
     # Hessian inverse backend: "schur" (matmul-only recursive block Schur,
     # no Cholesky custom call) or "cholesky".  Both are explicit inverses
     # with the same cond*eps forward-error class; schur avoids the custom
@@ -306,9 +317,17 @@ def solve_qcqp_ipm(structure: ProblemStructure,
         dx, ds, dlam = direction(sigma * mu)
         alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
 
-        x_new = x + alpha * dx
-        s_new = s + alpha * ds
-        lam_new = jnp.maximum(lam + alpha * dlam, 1e-16)
+        # Select, don't scale: freeze the scenario on a blown-up (non-
+        # finite) Newton direction instead of poisoning the running state
+        # through alpha * NaN.  A NaN direction yields a *finite* alpha
+        # (NaN < 0 is False in max_step, ratios all inf), so the gate must
+        # check the direction itself (ds/dlam contain J dx -- dx finiteness
+        # is implied).  Mirrors ipm_lanes._finite_step_mask.
+        upd = ((alpha > 0) & jnp.all(jnp.isfinite(ds))
+               & jnp.all(jnp.isfinite(dlam)))
+        x_new = jnp.where(upd, x + alpha * dx, x)
+        s_new = jnp.where(upd, s + alpha * ds, s)
+        lam_new = jnp.where(upd, jnp.maximum(lam + alpha * dlam, 1e-16), lam)
 
         # Best-iterate tracking: keep the lowest-merit x seen; the fixed-
         # length scan may keep stepping after the numerical endgame.

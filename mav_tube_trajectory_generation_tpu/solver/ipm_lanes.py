@@ -78,6 +78,23 @@ def _lane_maps(layout: _PadLayout) -> _LaneMaps:
     return maps
 
 
+def _finite_step_mask(alpha, ds, dlam):
+    """Per-scenario update gate: True only where the step length is positive
+    AND the Newton direction is finite.
+
+    A NaN direction makes every fraction-to-boundary ratio inf (NaN < 0
+    compares False), so alpha alone comes back as a *finite* 1.0 and an
+    `isfinite(alpha)` guard never fires -- the NaN must be caught on the
+    direction itself or it permanently poisons the running s/lam/y state
+    (and with it the dual outputs and the dynamic infeasibility
+    certificate).  dx finiteness is implied: ds = (-r2 - jdx) and
+    dlam = ... - w*ds both contain G dx terms.
+    """
+    finite = jnp.all(jnp.isfinite(ds) & jnp.isfinite(dlam), axis=-1,
+                     keepdims=True)
+    return (alpha > 0) & finite
+
+
 def _c_lanes(y, rb_pad, nb_p: int, n_ball: int):
     """Constraint values in lane layout from y = G x + b (batched (..., m_p)).
     Ball values replicated over the 3 planes; halves in place."""
@@ -224,15 +241,26 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
     # best-iterate luck).  A sigma floor + step cap keep mu's decrease
     # geometric-but-bounded, and the tighter w cap bounds the Newton system's
     # condition number to what f32 factorization can actually deliver.
-    sigma_min = getattr(config, "sigma_min", 0.1)
-    alpha_max = getattr(config, "alpha_max", 1.0)
-    w_cap = getattr(config, "w_cap", 1e6)
+    sigma_min = config.sigma_min
+    alpha_max = config.alpha_max
+    w_cap = config.w_cap
 
-    bsz = d_fixed.shape[0]
+    orig_b = d_fixed.shape[0]
     s_blk = scenario_block
-    if bsz % s_blk != 0:
-        raise ValueError(f"batch {bsz} not a multiple of "
-                         f"scenario_block {s_blk} (pad upstream)")
+    bsz = ((orig_b + s_blk - 1) // s_blk) * s_blk
+    if bsz != orig_b:
+        # Pad to a scenario-block multiple by repeating the last scenario
+        # (valid data, so the pad rows solve cleanly); outputs are sliced
+        # back below.  Same contract as qcqp.solve_qcqp_batch.
+        def _pad(a):
+            if a is None:
+                return None
+            a = jnp.asarray(a, f32)
+            return jnp.concatenate(
+                [a, jnp.repeat(a[-1:], bsz - orig_b, axis=0)], axis=0)
+        d_fixed, times, waypoints, radii, x0, lam0_ball, lam0_half = (
+            _pad(a) for a in (d_fixed, times, waypoints, radii, x0,
+                              lam0_ball, lam0_half))
 
     (p_eq, q_eq, d_scale, x_init, gt, b_pad, rb, sb, sh) = _lanes_setup(
         structure, d_fixed, times, waypoints, radii, x0, layout)
@@ -287,7 +315,7 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
         s_lane = jnp.maximum(-c0, config.s_init) * act + (1.0 - act)
         lam_lane = jnp.full((bsz, m_p), config.lam_init, f32) * act
 
-    gram_precision = getattr(config, "gram_precision", "highest")
+    gram_precision = config.gram_precision
 
     def eval_step_k(x, s, lam, w_cap_k, phr=False):
         """One fused kernel pass; the Gram leaves the kernel as its block-
@@ -341,7 +369,7 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
             ds = (-r2 - jdx) * act
             return dx, gdx, ds, jdx
 
-        if getattr(config, "corrector", True):
+        if config.corrector:
             dx_a, gdx_a, ds_a, _ = direction(rhs_a)
             dlam_a = (-lam - w * ds_a) * act
             alpha_a = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
@@ -364,9 +392,10 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
         # endgame) must freeze the state for that scenario, not poison it
         # through 0 * NaN -- best-iterate tracking already preserves the
         # answer, this keeps the RUNNING state (and the dual outputs
-        # derived from it) finite too.
-        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-        upd = alpha > 0
+        # derived from it) finite too.  Gated on direction finiteness, not
+        # alpha: NaN directions yield a finite alpha (see _finite_step_mask).
+        upd = _finite_step_mask(alpha, ds, dlam)
+        alpha = jnp.where(upd, alpha, 0.0)
         x_new = jnp.where(upd[:, :, None], x + alpha[:, :, None] * dx, x)
         s_new = jnp.where(upd, s + alpha * ds, s)
         lam_new = jnp.where(act > 0,
@@ -385,10 +414,40 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
         return (x_new, s_new, lam_new, y_new, best_x, best_y, best_merit), \
             max_lam
 
-    carry0 = (x_flat0, s_lane, lam_lane, y0[:, 0, :], x_flat0, y0[:, 0, :],
-              jnp.full((bsz,), jnp.inf, f32))
-    (x_last, s_fin, lam_fin, y_last, x_fin, y_fin, best_merit), lam_hist = \
-        jax.lax.scan(newton_step, carry0, None, length=config.n_iters)
+    if config.fused:
+        if config.corrector:
+            raise ValueError("fused lanes IPM implements the production "
+                             "corrector=False schedule only")
+        g3 = lambda a: a.reshape((bsz // s_blk, s_blk) + a.shape[1:])
+        act3 = jnp.asarray(maps.act).reshape(1, 1, m_p)
+        cw3 = jnp.asarray(maps.cw).reshape(1, 1, m_p)
+        outs = jax.vmap(lambda *a: ipm_kernel.ipm_solve_fused(
+            *a, act3, cw3, nb_p=nb_p, n_ball=n_ball, mc=mc,
+            n_iters=config.n_iters, snap_iters=config.snap_iters,
+            sigma_min=float(sigma_min), tau=float(config.tau),
+            alpha_max=float(alpha_max), w_cap=float(w_cap),
+            reg=float(config.reg), snap_rho=float(config.snap_rho),
+            blk=blk, interpret=interpret))(
+            g3(gt), g3(b_pad), g3(rb_pad[:, None, :]), g3(pe_d), g3(pe_u),
+            g3(q_flat), g3(x_flat0), g3(s_lane[:, None, :]),
+            g3(lam_lane[:, None, :]), g3(y0))
+        ug = lambda a: a.reshape((bsz,) + a.shape[2:])
+        x_fin = ug(outs[0])
+        y_fin = ug(outs[1])[:, 0, :]
+        s_fin = ug(outs[2])[:, 0, :]
+        lam_fin = ug(outs[3])[:, 0, :]
+        y_last = ug(outs[4])[:, 0, :]
+        best_merit = ug(outs[5])[:, 0, 0]
+        lam_growth = (ug(outs[7])[:, 0, 0]
+                      / jnp.maximum(ug(outs[6])[:, 0, 0], 1e-30))
+    else:
+        carry0 = (x_flat0, s_lane, lam_lane, y0[:, 0, :], x_flat0,
+                  y0[:, 0, :], jnp.full((bsz,), jnp.inf, f32))
+        (x_last, s_fin, lam_fin, y_last, x_fin, y_fin, best_merit), \
+            lam_hist = jax.lax.scan(newton_step, carry0, None,
+                                    length=config.n_iters)
+        lam_growth = (lam_hist[-1]
+                      / jnp.maximum(lam_hist[config.n_iters // 2], 1e-30))
 
     # ---- Feasibility snap (tail repair). ---------------------------------
     # f32 Mehrotra endgames leave a fat violation tail (best-iterate luck,
@@ -399,9 +458,9 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
     # affine-in-alpha y.  Moves are O(violation)-sized and the cost changes
     # second-order; measured: pulls the 1e-3 tail into the 1e-5 class in 2
     # sweeps.
-    snap_iters = getattr(config, "snap_iters", 2)
-    snap_rho = getattr(config, "snap_rho", 1e4)
-    if snap_iters:
+    snap_iters = config.snap_iters
+    snap_rho = config.snap_rho
+    if snap_iters and not config.fused:   # fused kernel snaps in-kernel
         snap_alphas = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01,
                        0.003)
 
@@ -451,8 +510,7 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
     obj_scale = 1.0 + jnp.max(jnp.abs(q_flat[:, :, 0]), axis=-1)
     converged = ((prim_res < config.eps_feas)
                  & (best_merit < config.eps_merit * obj_scale))
-    growth = (lam_hist[-1]
-              / jnp.maximum(lam_hist[config.n_iters // 2], 1e-30))
+    growth = lam_growth
     c_last = _c_lanes(y_last, rb_pad, nb_p, n_ball)
     lam_cw = cw * lam_fin
     farkas = (jnp.sum(lam_cw * c_last, axis=-1)
@@ -483,12 +541,15 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
     lam_half_f = jnp.take_along_axis(lam_fin, half_lane[None, :], axis=-1)
     dual_half = 2.0 * sh * lam_half_f
 
-    return QCQPSolution(
+    out = QCQPSolution(
         coefficients=sol.coefficients, times=times, d_fixed=d_fixed,
         d_free=d_free, cost=sol.cost, converged=converged,
         primal_residual=prim_res, dual_residual=mu_fin,
         max_violation=viol, dual_ball=dual_ball, dual_half=dual_half,
         infeasible=infeasible)
+    if bsz != orig_b:
+        out = jax.tree_util.tree_map(lambda a: a[:orig_b], out)
+    return out
 
 
 def _static_certificate(structure, times, d_fixed, waypoints, radii,

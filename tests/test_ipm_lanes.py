@@ -124,6 +124,79 @@ def test_lanes_static_infeasibility_certificate(scenario_batch):
     assert bool(np.asarray(lanes.infeasible).all())
 
 
+def test_fused_kernel_matches_scan_path(scenario_batch):
+    """The whole-IPM fused kernel (ops/ipm_kernel.ipm_solve_fused) lands in
+    the scan path's solution class: costs within 0.1% median / 1% worst,
+    violations in the same class.  (Bitwise equality is not expected: the
+    fused factor uses in-kernel Gauss-Jordan pivot inverses, the scan path
+    banded.spd_block_tridiag_factor -- different f32 rounding, same
+    endgame.)"""
+    free, df, times, waypoints, radii, a = scenario_batch
+    kw = dict(x0=a.d_free, lam0_ball=a.dual_ball, lam0_half=a.dual_half,
+              scenario_block=4)
+    scan = ipm_lanes.solve_qcqp_ipm_lanes(
+        free, df, times, waypoints, radii,
+        config=ipm.IPMConfig(n_iters=10, sigma_min=0.3, corrector=False),
+        **kw)
+    fused = ipm_lanes.solve_qcqp_ipm_lanes(
+        free, df, times, waypoints, radii,
+        config=ipm.IPMConfig(n_iters=10, sigma_min=0.3, corrector=False,
+                             fused=True), **kw)
+    rel = np.abs(np.asarray(fused.cost) - np.asarray(scan.cost)) \
+        / np.asarray(scan.cost)
+    assert np.median(rel) < 1e-3, rel
+    assert rel.max() < 1e-2, rel
+    v = np.asarray(fused.max_violation)
+    assert v.max() < 3e-3, v
+    assert np.median(v) < 2e-4, v
+    # Mehrotra + fused is rejected (the kernel implements corrector=False).
+    with pytest.raises(ValueError):
+        ipm_lanes.solve_qcqp_ipm_lanes(
+            free, df, times, waypoints, radii,
+            config=ipm.IPMConfig(n_iters=2, fused=True), **kw)
+
+
+def test_finite_step_mask_catches_nan_directions():
+    """A NaN Newton direction yields a *finite* alpha (NaN < 0 is False in
+    the fraction-to-boundary ratios -> all inf -> alpha = 1.0), so the
+    update gate must check the direction itself -- an isfinite(alpha) guard
+    never fires (the advisor-verified failure mode)."""
+    b, m = 3, 7
+    ds = jnp.ones((b, m), jnp.float32)
+    dlam = jnp.ones((b, m), jnp.float32)
+    ds = ds.at[1].set(jnp.nan)           # scenario 1: blown-up direction
+    dlam = dlam.at[2, 4].set(jnp.inf)    # scenario 2: one inf entry
+    # Reproduce the alpha a NaN direction produces through max_step.
+    v = jnp.full((b, m), 0.5, jnp.float32)
+    ratio = jnp.where(ds < 0, -v / jnp.where(ds < 0, ds, -1.0), jnp.inf)
+    alpha = jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=-1, keepdims=True))
+    assert bool(jnp.isfinite(alpha).all())   # the old guard would pass NaNs
+    upd = ipm_lanes._finite_step_mask(alpha, ds, dlam)
+    np.testing.assert_array_equal(np.asarray(upd[:, 0]),
+                                  [True, False, False])
+
+
+def test_lanes_internal_batch_padding(scenario_batch):
+    """A batch that is not a scenario_block multiple is padded internally
+    and the outputs sliced back -- same contract as solve_qcqp_batch."""
+    free, df, times, waypoints, radii, a = scenario_batch
+    cfg = ipm.IPMConfig(n_iters=4)
+    kw = dict(config=cfg, x0=a.d_free, lam0_ball=a.dual_ball,
+              lam0_half=a.dual_half)
+    full = ipm_lanes.solve_qcqp_ipm_lanes(
+        free, df, times, waypoints, radii, scenario_block=4, **kw)
+    kw5 = dict(config=cfg, x0=a.d_free[:5], lam0_ball=a.dual_ball[:5],
+               lam0_half=a.dual_half[:5])
+    part = ipm_lanes.solve_qcqp_ipm_lanes(
+        free, df[:5], times[:5], waypoints[:5], radii[:5],
+        scenario_block=4, **kw5)
+    assert part.cost.shape == (5,)
+    np.testing.assert_allclose(np.asarray(part.cost),
+                               np.asarray(full.cost[:5]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(part.d_free),
+                               np.asarray(full.d_free[:5]), atol=1e-5)
+
+
 def test_ipm_kernel_eval_matches_xla_core():
     """The Pallas kernel (interpret) and a direct _eval_core call agree."""
     from mav_tube_trajectory_generation_tpu.ops import ipm_kernel

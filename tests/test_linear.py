@@ -330,7 +330,11 @@ def test_time_allocation_bounds(heuristic):
         total += 1
         ok_v += vmax <= 2.5 * v_max
         ok_a += amax <= 2.5 * a_max
-    # The heuristics are heuristics; require the bound to hold for the
-    # majority of random paths (the reference tests a single fixed seed).
-    assert ok_v >= 4, (heuristic, ok_v, total)
-    assert ok_a >= 3, (heuristic, ok_a, total)
+    # Pinned: EVERY seed satisfies the 2.5x bound (measured on CPU/f64:
+    # worst case is ramp seed 300 with vmax 1.92x / amax 1.50x -- a short
+    # 1.29-unit segment between two long ones makes the min-snap solution
+    # overshoot the per-segment ramp profile; nfabian's longer times keep
+    # vmax <= 1.09x and amax <= 0.49x on all five).  An earlier revision of
+    # this test allowed 1-2 failing seeds; that slack was stale.
+    assert ok_v == total, (heuristic, ok_v, total)
+    assert ok_a == total, (heuristic, ok_a, total)
