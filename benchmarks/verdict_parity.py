@@ -24,7 +24,15 @@ optimum) on scenarios both deem feasible -- the optimality price of the
 headline's first-order gate.
 
 Usage: python benchmarks/verdict_parity.py [--total=12288] [--chunk=2048]
-       [--ipm-iters=30]
+       [--ipm-iters=30] [--router]
+
+--router: route the device path through solver/auto.solve_qcqp_auto (ADMM
+gate + selective IPM escalation + f64 tier-2) instead of the bare gated
+ADMM, and score the ROUTER's verdicts against the ground truth -- the
+round-2 VERDICT's "production verdict routing" done-criterion (agreement
+>= 95% in every radius bucket).  Writes
+benchmarks/verdict_parity_router_results.json.
+
 (Always runs on CPU with x64: this is a STUDY tool, not a throughput bench.)
 """
 
@@ -39,6 +47,7 @@ import numpy as np
 
 def main():
     total, chunk, n_ipm = 12288, 2048, 30
+    router = "--router" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--total="):
             total = int(a.split("=")[1])
@@ -51,7 +60,7 @@ def main():
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import bench
-    from mav_tube_trajectory_generation_tpu.solver import ipm, qcqp
+    from mav_tube_trajectory_generation_tpu.solver import auto, ipm, qcqp
 
     k = 10
     admm_kw = dict(rho=0.005, n_stages=1, n_iters=48,
@@ -61,6 +70,14 @@ def main():
     ipm_cfg = ipm.IPMConfig(n_iters=n_ipm)
     free = bench.make_inputs(k, 1, seed=0)[1]   # static problem family
 
+    def ground_truth(df_free, times, waypoints, radii):
+        p = jax.vmap(lambda d1, d2, d3, d4: ipm.solve_qcqp_polished(
+            free, d1, d2, d3, d4, admm_config=admm_cfg,
+            ipm_config=ipm_cfg))(df_free, times, waypoints, radii)
+        return p.max_violation, p.infeasible, p.cost
+
+    gt_f = jax.jit(ground_truth)
+
     def run_chunk(df_free, times, waypoints, radii, values):
         # Device path: f32, the headline arithmetic INCLUDING its
         # position-constrained warm start (bench.py's warmstart_values).
@@ -69,14 +86,30 @@ def main():
             waypoints.astype(jnp.float32), radii.astype(jnp.float32),
             config=admm_cfg, warmstart_values=values.astype(jnp.float32),
             scenario_block=4)
-        # Ground truth: f64 warm-started interior point.
-        p = jax.vmap(lambda d1, d2, d3, d4: ipm.solve_qcqp_polished(
-            free, d1, d2, d3, d4, admm_config=admm_cfg,
-            ipm_config=ipm_cfg))(df_free, times, waypoints, radii)
-        return (a32.max_violation, a32.cost,
-                p.max_violation, p.infeasible, p.cost)
+        return a32.max_violation, a32.cost
 
-    f = jax.jit(run_chunk)
+    dev_f = jax.jit(run_chunk)
+
+    def f(df_free, times, waypoints, radii, values):
+        if router:
+            # Router device path: host control flow (gate -> gathered
+            # escalation), so not jitted end-to-end.
+            res = auto.solve_qcqp_auto(
+                free, jnp.asarray(np.asarray(df_free), jnp.float32),
+                jnp.asarray(np.asarray(times), jnp.float32),
+                jnp.asarray(np.asarray(waypoints), jnp.float32),
+                jnp.asarray(np.asarray(radii), jnp.float32),
+                warmstart_values=jnp.asarray(np.asarray(values),
+                                             jnp.float32))
+            a_feas = jnp.asarray(res.verdict == auto.FEASIBLE)
+            a_cost = res.solution.cost
+            f.n_escalated += res.n_escalated
+        else:
+            a_viol, a_cost = dev_f(df_free, times, waypoints, radii, values)
+            a_feas = a_viol < 1e-2
+        p_viol, p_inf, p_cost = gt_f(df_free, times, waypoints, radii)
+        return a_feas, a_cost, p_viol, p_inf, p_cost
+    f.n_escalated = 0
 
     rows = []
     scales = []
@@ -120,7 +153,7 @@ def main():
         print(f"[parity] chunk {seed}: {chunk} scenarios "
               f"({t_solve:.1f}s cumulative)", flush=True)
 
-    a_viol, a_cost, p_viol, p_inf, p_cost = (
+    admm_feas, a_cost, p_viol, p_inf, p_cost = (
         np.concatenate([r[i] for r in rows]) for i in range(5))
     scale_all = np.concatenate(scales)
     forced_all = np.concatenate(forced)
@@ -130,8 +163,9 @@ def main():
     undetermined = ~ipm_feas & ~ipm_infeas
     det = ~undetermined
 
-    admm_feas = a_viol < 1e-2           # the headline gate
     report = {
+        "mode": "router" if router else "gate",
+        "n_escalated": int(f.n_escalated) if router else None,
         "n_total": int(total),
         "n_forced_infeasible": int(np.sum(forced_all)),
         "n_ipm_feasible": int(np.sum(ipm_feas)),
@@ -169,6 +203,10 @@ def main():
         "seconds": round(t_solve, 2),
     })
     print("[parity] " + json.dumps(report), flush=True)
+    out = ("benchmarks/verdict_parity_router_results.json" if router
+           else "benchmarks/verdict_parity_results.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -274,33 +274,35 @@ def _ipm_eval_step_jit(gt, b, rb, x, s, lam, *, nb_p: int, n_ball: int,
 
 
 def _gj_inverse(m):
-    """(S, b, b) SPD inverse via Gauss-Jordan on the augmented [M | I]
-    tile -- diagonal pivoting (no row swaps: the callers feed equilibrated
-    SPD pivot blocks).  Pure jnp ops, fully unrolled over the b pivots, so
-    it lowers inside a Pallas kernel (no linalg custom calls exist there).
+    """(S, b, b) SPD inverse via Gauss-Jordan -- diagonal pivoting (no row
+    swaps: the callers feed equilibrated SPD pivot blocks).  Pure jnp ops,
+    fully unrolled over the b pivots, so it lowers inside a Pallas kernel
+    (no linalg custom calls exist there).  Two-matrix formulation (the row
+    ops applied to M and to a running identity) -- the classic augmented
+    [M | I] tile hits a Mosaic concatenate layout limitation
+    ("result/input offset mismatch on non-concat dimension") on v5e.
     """
     s, bb, _ = m.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (1, bb, 1), 1)
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * bb), 2)
-    eye_aug = (col2 - bb == row).astype(m.dtype)          # right half = I
-    aug = jnp.concatenate([m, jnp.zeros_like(m)], axis=2) + eye_aug
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bb), 2)
+    inv = jnp.broadcast_to((row == col).astype(m.dtype), m.shape)
+    a = m
     for p in range(bb):
-        piv = aug[:, p:p + 1, :]                          # (S, 1, 2b)
-        piv = piv / piv[:, :, p:p + 1]
-        colv = aug[:, :, p:p + 1]                         # (S, b, 1)
-        elim = jnp.where(row == p, 0.0, colv)
-        aug = jnp.where(row == p, piv, aug - elim * piv)
-    return aug[:, :, bb:]
+        d = a[:, p:p + 1, p:p + 1]                        # (S, 1, 1)
+        prow_a = a[:, p:p + 1, :] / d
+        prow_i = inv[:, p:p + 1, :] / d
+        elim = jnp.where(row == p, 0.0, a[:, :, p:p + 1])
+        a = jnp.where(row == p, prow_a, a - elim * prow_a)
+        inv = jnp.where(row == p, prow_i, inv - elim * prow_i)
+    return inv
 
 
 def _dot_t(a, b):
-    """Per-batch a^T @ b for stacked (S, r, n) x (S, r, m) -> (S, n, m):
-    contraction over the ROW dim of both -- a transposed matmul with no
-    explicit (relayout-costly) transpose."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    """Per-batch a^T @ b for stacked (S, r, n) x (S, r, m) -> (S, n, m).
+    Explicit swapaxes + standard dot: Mosaic's small-tile relayout for the
+    transpose is cheap and the standard matmul lowering is the well-trodden
+    path."""
+    return _sdot3(jnp.swapaxes(a, 1, 2), b)
 
 
 def _sdot3(a, b):

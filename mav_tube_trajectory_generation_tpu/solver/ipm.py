@@ -117,6 +117,11 @@ class IPMConfig:
     # production schedule); the scan path remains for corrector=True and
     # as the reference implementation.
     fused: bool = False
+    # Scenario block for the FUSED kernel only (the ADMM kernel and the
+    # non-fused lanes path keep the caller's scenario_block).  The fused
+    # kernel's working set (G^T + the scaled Gram operands + aj, all
+    # VMEM-resident) overruns the ~16 MB scoped VMEM at S=4; S=2 fits.
+    fused_block: int = 2
     # Hessian inverse backend: "schur" (matmul-only recursive block Schur,
     # no Cholesky custom call) or "cholesky".  Both are explicit inverses
     # with the same cond*eps forward-error class; schur avoids the custom

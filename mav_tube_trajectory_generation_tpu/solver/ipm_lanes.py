@@ -418,7 +418,11 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
         if config.corrector:
             raise ValueError("fused lanes IPM implements the production "
                              "corrector=False schedule only")
-        g3 = lambda a: a.reshape((bsz // s_blk, s_blk) + a.shape[1:])
+        fb = min(config.fused_block, bsz)
+        if bsz % fb != 0:
+            raise ValueError(f"batch {bsz} not a multiple of "
+                             f"fused_block {fb}")
+        g3 = lambda a: a.reshape((bsz // fb, fb) + a.shape[1:])
         act3 = jnp.asarray(maps.act).reshape(1, 1, m_p)
         cw3 = jnp.asarray(maps.cw).reshape(1, 1, m_p)
         outs = jax.vmap(lambda *a: ipm_kernel.ipm_solve_fused(

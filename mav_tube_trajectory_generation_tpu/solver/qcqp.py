@@ -190,6 +190,23 @@ def _control_point_maps(structure: ProblemStructure, times: jnp.ndarray,
     return cp0, ecp
 
 
+def _row_scale_bounds(n_coefficients: int):
+    """Constraint-row equilibration clamp, N-aware.
+
+    [1e-2, 1e2] at N <= 10: the round-2-tuned bounds every headline quality
+    number, certificate threshold, and penalty-factor choice was calibrated
+    against.  At N = 12 the Bezier control-point maps' T^l dynamic range
+    (l <= N-1) pushes REAL constraint rows' equilibrated norms well below
+    1e-2; capping their up-scaling at 1e2 leaves the f32 stage KKT at cond
+    ~1.9e6 (measured, K=10 nfabian times: Newton/ADMM f32 solves lose
+    feasibility digits -- the old test_ngen N=12 caveat), while widening to
+    [1e-4, 1e4] restores cond ~3.4e3, the N=10 class.  Near-zero constant
+    rows at N=12 get up-scaled by at most 1e4 -- still bounded, and the
+    static certificate reads the raw (unscaled) tensors either way.
+    """
+    return (1e-2, 1e2) if n_coefficients <= 10 else (1e-4, 1e4)
+
+
 def build_constraints(structure: ProblemStructure,
                       times: jnp.ndarray,
                       d_fixed: jnp.ndarray,
@@ -386,11 +403,13 @@ def _padded_constraint_system(structure: ProblemStructure,
 
     # Row equilibration scales (identical semantics to solve_qcqp's clip),
     # times the per-family sqrt(penalty factor) (ADMMConfig.rho_*_factor).
+    rs_lo, rs_hi = _row_scale_bounds(n)
     sb_sph = np.sqrt(f_sphere) / jnp.clip(
-        e_norm[:k - 1, n - 1], 1e-2, 1e2)                           # (K-1,)
+        e_norm[:k - 1, n - 1], rs_lo, rs_hi)                        # (K-1,)
     sb_tube = np.sqrt(f_tube) / jnp.clip(
-        proj_f[:, None] * e_norm[:, mid] / jnp.sqrt(3.0), 1e-2, 1e2)  # (K,M)
-    sh_kj = np.sqrt(f_half) / jnp.clip(e_norm[:, mid], 1e-2, 1e2)   # (K, M)
+        proj_f[:, None] * e_norm[:, mid] / jnp.sqrt(3.0),
+        rs_lo, rs_hi)                                               # (K,M)
+    sh_kj = np.sqrt(f_half) / jnp.clip(e_norm[:, mid], rs_lo, rs_hi)  # (K,M)
 
     # --- G^T in ONE write: gather + broadcast-multiply. --------------------
     # Every constraint row is ecp_s[k_m, j_m, :] (x) w_m (direction vector
@@ -863,16 +882,17 @@ def solve_qcqp(structure: ProblemStructure,
     gb = cons.g_ball * d_scale[None, None, :, None]
     gh = cons.g_half * d_scale[None, :, None]
 
-    # Row scaling: per ball block / half row -> unit Frobenius scale.
-    # Clamped to [1e-2, 1e2]: constraints whose Jacobian block is
+    # Row scaling: per ball block / half row -> unit Frobenius scale,
+    # clamped to _row_scale_bounds(N): constraints whose Jacobian block is
     # (near-)zero -- e.g. tube constraints on the first segment's leading
     # control points, which depend only on *fixed* start derivatives --
     # are constants; unbounded up-scaling of those rows poisons the
     # solvers.
+    rs_lo, rs_hi = _row_scale_bounds(structure.n_coefficients)
     sb = 1.0 / jnp.clip(
-        jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), 1e-2, 1e2)
+        jnp.sqrt(jnp.sum(gb ** 2, axis=(1, 2, 3)) / 3.0), rs_lo, rs_hi)
     sh = 1.0 / jnp.clip(jnp.sqrt(jnp.sum(gh ** 2, axis=(1, 2))),
-                        1e-2, 1e2)
+                        rs_lo, rs_hi)
     if (config.rho_sphere_factor, config.rho_tube_factor,
             config.rho_half_factor) != (1.0, 1.0, 1.0):
         n_sph = structure.n_segments - 1
