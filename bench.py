@@ -144,34 +144,40 @@ def main():
               f"scenarios/s (median vmax {float(jnp.median(out5[0])):.2f}, "
               f"amax {float(jnp.median(out5[1])):.2f})", file=sys.stderr)
 
-        # Strict-feasibility (Mosek-grade) path: ADMM warm solve + plane-
-        # layout IPM polish + feasibility snap (solver/ipm_lanes.py).  This
-        # is the per-solve feasibility-semantics match to the reference's
-        # Mosek backend; the headline above is the statistical-quality gate.
-        from mav_tube_trajectory_generation_tpu.solver import ipm_lanes
+        # Strict-feasibility (Mosek-grade) path: the ROUTER
+        # (solver/auto.solve_qcqp_strict) -- ADMM + snap-only Gauss-Newton
+        # tier 0 (one band factor), then ONLY the rows still >= 1e-4
+        # escalate to the warm-started plane-layout IPM polish.  This is
+        # the per-solve feasibility-semantics match to the reference's
+        # Mosek backend (qcqp_impl.h:709-788) with the polish cost paid
+        # only where needed; the headline above is the statistical-quality
+        # gate.  Timed end-to-end including the host routing.
+        from mav_tube_trajectory_generation_tpu.solver import auto as auto_m
 
-        def polished(df_free_b, times_b, waypoints_b, radii_b, values_b):
-            pol = ipm_lanes.solve_qcqp_polished_batch(
-                free, df_free_b, times_b, waypoints_b, radii_b,
-                admm_config=admm, warmstart_values=values_b,
-                scenario_block=4)
-            return pol.cost, pol.max_violation
+        def strict_once():
+            return auto_m.solve_qcqp_strict(
+                free, df_free, times, waypoints, radii,
+                warmstart_values=values, scenario_block=4)
 
-        fp = jax.jit(polished)
-        dtp, outp = time_fn(
-            fp, (df_free, times, waypoints, radii, values), n_iters=5)
-        violp = outp[1]
+        res = strict_once()                          # compile + warm
+        t0 = time.perf_counter()
+        n_rep = 3
+        for _ in range(n_rep):
+            res = strict_once()
+        dtp = (time.perf_counter() - t0) / n_rep
+        violp = jnp.asarray(res.solution.max_violation)
         n_strict = int(jnp.sum(violp < 1e-4))
-        print(f"[bench] strict-feasibility (ADMM+IPM polish): "
-              f"{batch/dtp:,.0f} solves/s; {n_strict}/{batch} at viol<1e-4 "
-              f"(p99 {float(jnp.percentile(violp, 99)):.1e})",
-              file=sys.stderr)
+        print(f"[bench] strict-feasibility (router: ADMM+snap -> IPM "
+              f"escalation): {batch/dtp:,.0f} solves/s; {n_strict}/{batch} "
+              f"at viol<1e-4 (p99 {float(jnp.percentile(violp, 99)):.1e}; "
+              f"{res.n_escalated} escalated)", file=sys.stderr)
 
         # Mosek-verdict agreement vs the interior-point ground truth
         # (recorded 12k-scenario study; benchmarks/verdict_parity.py).
         import os
-        vp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "benchmarks", "verdict_parity_results.json")
+        bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks")
+        vp = os.path.join(bdir, "verdict_parity_results.json")
         if os.path.exists(vp):
             with open(vp) as fh:
                 v = json.load(fh)
@@ -180,6 +186,26 @@ def main():
                   f"agreement {v['agreement[r>=0.5]']*100:.1f}% at r>=0.5, "
                   f"certificate recall {v['certificate_recall']*100:.1f}%, "
                   f"cost gap median {v['cost_gap_median']*100:.3f}%",
+                  file=sys.stderr)
+        vr = os.path.join(bdir, "verdict_parity_router_results.json")
+        if os.path.exists(vr):
+            with open(vr) as fh:
+                v = json.load(fh)
+            worst = min(val for key, val in v.items()
+                        if key.startswith("agreement["))
+            print(f"[bench] router verdict parity (recorded, "
+                  f"n={v['n_total']}): worst-bucket agreement "
+                  f"{worst*100:.1f}%, false-feasible {v['false_feasible']}, "
+                  f"escalated {v['n_escalated']}/{v['n_total']}",
+                  file=sys.stderr)
+        ep = os.path.join(bdir, "external_parity_results.json")
+        if os.path.exists(ep):
+            with open(ep) as fh:
+                v = json.load(fh)["report"]
+            print(f"[bench] external (scipy SLSQP) parity (recorded, "
+                  f"n={v['n_total']}): verdict agreement "
+                  f"{v['verdict_agreement[det]']*100:.1f}%, cost gap median "
+                  f"{v['cost_gap_median']:.1e}",
                   file=sys.stderr)
 
     print(json.dumps({

@@ -66,23 +66,15 @@ def main():
               f"(compile {compile_s:.0f}s)", flush=True)
         return batch / dt, n_strict
 
-    # Round-2 baseline: scan path, 10 corrector-free steps + 2 snaps.
-    run("scan S=4 it10 snap2",
-        ipm.IPMConfig(n_iters=10, sigma_min=0.3, corrector=False), 4)
-    # Fused kernel sweep.
-    run("fused S=4 it10 snap2",
-        ipm.IPMConfig(n_iters=10, sigma_min=0.3, corrector=False,
-                      fused=True), 4)
-    run("fused S=8 it10 snap2",
-        ipm.IPMConfig(n_iters=10, sigma_min=0.3, corrector=False,
-                      fused=True), 8)
-    # Tail repair: more snap sweeps (each ~1 Newton-step cost in-kernel).
-    run("fused S=4 it10 snap4",
-        ipm.IPMConfig(n_iters=10, sigma_min=0.3, corrector=False,
-                      fused=True, snap_iters=4), 4)
-    run("fused S=4 it12 snap6",
-        ipm.IPMConfig(n_iters=12, sigma_min=0.3, corrector=False,
-                      fused=True, snap_iters=6), 4)
+    base = dict(sigma_min=0.3, corrector=False)
+    # Tier-0 candidates for the strict router: few Newton steps + snaps.
+    run("pipe it3 snap2",
+        ipm.IPMConfig(n_iters=3, snap_iters=2, pipelined=True, **base), 4)
+    run("pipe it4 snap2",
+        ipm.IPMConfig(n_iters=4, snap_iters=2, pipelined=True, **base), 4)
+    run("pipe it10 snap2 (full, fresh snap factors)",
+        ipm.IPMConfig(n_iters=10, pipelined=True, **base), 4)
+    run("scan S=4 it10 snap2", ipm.IPMConfig(n_iters=10, **base), 4)
 
 
 if __name__ == "__main__":

@@ -198,6 +198,217 @@ def _kernel_band(gt_ref, b_ref, rb_ref, x_ref, s_ref, lam_ref,
                      (i + 1) * blk:(i + 2) * blk]
 
 
+def _pipe_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
+                 x_ref, s_ref, lam_ref, y_ref,
+                 bx_ref, by_ref, bm_ref,
+                 sinv_ref, t_ref, tt_ref, dsc_ref, rhs_ref,
+                 act_ref, cw_ref,
+                 x_out, s_out, lam_out, y_out, bx_out, by_out, bm_out,
+                 maxlam_out, hd_out, hu_out, rhs_out,
+                 *, nb_p: int, n_ball: int, mc: int, sigma_min: float,
+                 tau: float, alpha_max: float, w_cap: float, reg: float,
+                 snap_rho: float, blk: int, upd_mode: str, eval_mode: str):
+    """One PIPELINED IPM step: finish the previous Newton/snap step (solve
+    its direction from the XLA-computed block-Thomas factors + apply the
+    update) and evaluate the next point (emit the Hessian BAND + rhs for
+    XLA to factor) -- one kernel dispatch and ONE G^T stream per step.
+
+    The profile of the scan path (docs/PERF.md round 3) shows the eval
+    kernel near its MXU floor (~14 ms/step, the two weighted-Gram dots)
+    while the per-step XLA epilogue -- gt_matvec dispatch, the solve's
+    block concatenates, and the elementwise update chain -- costs about as
+    much again.  This kernel keeps XLA's massively-batched band factor (a
+    per-instance in-kernel factor measured SLOWER: sequential micro-op
+    chain, see ipm_solve_fused) and moves everything else in here.
+
+    upd_mode / eval_mode: "none" | "newton" | "snap".  Snap updates act on
+    the best-iterate state (bx/by); Newton updates on the running x/s/lam/y
+    with the finite-direction gate and best-iterate tracking.
+    """
+    gt = gt_ref[:]
+    rb = rb_ref[:]
+    act = act_ref[:]
+    cw = cw_ref[:]
+    s_blk_n = gt.shape[0]
+    inf32 = jnp.float32(jnp.inf)
+
+    x, s, lam, y = x_ref[:], s_ref[:], lam_ref[:], y_ref[:]
+    best_x, best_y, best_merit = bx_ref[:], by_ref[:], bm_ref[:]
+    s = jnp.maximum(s, 1e-14) * act + (1.0 - act)
+
+    if upd_mode == "newton":
+        dx = _factored_col_solve(sinv_ref[:], t_ref[:], tt_ref[:],
+                                 dsc_ref[:], rhs_ref[:], blk)
+        gdx = jnp.sum(gt * dx, axis=1, keepdims=True)
+        c = _c_lanes_k(y, rb, nb_p, n_ball)
+        r2 = (c + s) * act
+        w = jnp.minimum(lam / s, w_cap)
+        mu = jnp.sum(cw * s * lam, axis=2, keepdims=True) / mc
+        sig_mu = sigma_min * mu
+        jdx = _jdx_lanes_k(gdx, y, nb_p, n_ball)
+        ds = (-r2 - jdx) * act
+        dlam = ((sig_mu - lam * s) / s - w * ds) * act
+        alpha = jnp.minimum(jnp.minimum(_max_step_k(s, ds, tau),
+                                        _max_step_k(lam, dlam, tau)),
+                            alpha_max)
+        fin = jnp.min(jnp.where((jnp.abs(ds) < inf32)
+                                & (jnp.abs(dlam) < inf32), 1.0, 0.0),
+                      axis=2, keepdims=True)
+        upd = (alpha > 0) & (fin > 0)
+        x = jnp.where(upd, x + alpha * dx, x)
+        s = jnp.where(upd, s + alpha * ds, s)
+        lam = jnp.where(upd & (act > 0),
+                        jnp.maximum(lam + alpha * dlam, 1e-16), lam)
+        y = jnp.where(upd, y + alpha * gdx, y)
+        c_new = _c_lanes_k(y, rb, nb_p, n_ball)
+        merit = _merit_k(c_new, s, lam, act, cw, mc)
+        better = merit < best_merit
+        best_x = jnp.where(better, x, best_x)
+        best_y = jnp.where(better, y, best_y)
+        best_merit = jnp.where(better, merit, best_merit)
+    elif upd_mode == "snap":
+        dx = _factored_col_solve(sinv_ref[:], t_ref[:], tt_ref[:],
+                                 dsc_ref[:], rhs_ref[:], blk)
+        gdx = jnp.sum(gt * dx, axis=1, keepdims=True)
+
+        def phi(y_a):
+            c_a = _c_lanes_k(y_a, rb, nb_p, n_ball)
+            v = jnp.maximum(c_a, 0.0)
+            return jnp.sum(cw * v * v, axis=2, keepdims=True)
+
+        best_a = jnp.zeros((s_blk_n, 1, 1), jnp.float32)
+        best_p = phi(best_y)
+        for a_t in (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003):
+            p_t = phi(best_y + a_t * gdx)
+            better = p_t < best_p
+            best_a = jnp.where(better, a_t, best_a)
+            best_p = jnp.where(better, p_t, best_p)
+        best_x = jnp.where(best_a > 0, best_x + best_a * dx, best_x)
+        best_y = jnp.where(best_a > 0, best_y + best_a * gdx, best_y)
+
+    # ---- Eval at the (possibly updated) point. ---------------------------
+    if eval_mode == "newton":
+        y_e, c_e, jtwr2, jts, lam_ball, aj, w_aj = _eval_core(
+            gt, b_ref[:], rb, x, s, lam, nb_p=nb_p, n_ball=n_ball,
+            w_cap=w_cap, phr=False)
+        gram = (_gram_dot(gt * lam_ball, gt, "highest")
+                + _gram_dot(aj * w_aj, aj, "highest"))
+        mu = jnp.sum(cw * s * lam, axis=2, keepdims=True) / mc
+        sig_mu = sigma_min * mu
+        rhs_new = -(_pe_band_mv(pe_d_ref[:], pe_u_ref[:], x, blk) + q_ref[:]
+                    + jtwr2 + sig_mu * jts)
+        y = y_e                      # fresh matvec point, as the scan path
+        reg_e = reg
+    elif eval_mode == "snap":
+        c_b = _c_lanes_k(best_y, rb, nb_p, n_ball)
+        margin = 3.0 / snap_rho
+        lam_s = jnp.where((c_b > -margin) & (act > 0), 1e-6, 0.0)
+        s_s = lam_s / snap_rho
+        _, _, jtwr2, _, lam_ball, aj, w_aj = _eval_core(
+            gt, b_ref[:], rb, best_x, s_s, lam_s, nb_p=nb_p,
+            n_ball=n_ball, w_cap=snap_rho, phr=True)
+        gram = (_gram_dot(gt * lam_ball, gt, "highest")
+                + _gram_dot(aj * w_aj, aj, "highest"))
+        rhs_new = -jtwr2
+        reg_e = 1e-6
+
+    if eval_mode == "none":
+        hd_out[:] = jnp.zeros(hd_out.shape, jnp.float32)
+        hu_out[:] = jnp.zeros(hu_out.shape, jnp.float32)
+        rhs_out[:] = jnp.zeros(rhs_out.shape, jnp.float32)
+    else:
+        pe_d = pe_d_ref[:]
+        pe_u = pe_u_ref[:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, blk, 1), 1)
+        colb = jax.lax.broadcasted_iota(jnp.int32, (1, 1, blk), 2)
+        eye_b = (row == colb).astype(jnp.float32)
+        m_blk = gram.shape[-1] // blk
+        for i in range(m_blk):
+            hd_out[:, i * blk:(i + 1) * blk, :] = \
+                (gram[:, i * blk:(i + 1) * blk, i * blk:(i + 1) * blk]
+                 + pe_d[:, i] + reg_e * eye_b)
+            if i + 1 < m_blk:
+                hu_out[:, i * blk:(i + 1) * blk, :] = \
+                    (gram[:, i * blk:(i + 1) * blk,
+                          (i + 1) * blk:(i + 2) * blk] + pe_u[:, i])
+        rhs_out[:] = rhs_new
+
+    x_out[:] = x
+    s_out[:] = s
+    lam_out[:] = lam
+    y_out[:] = y
+    bx_out[:] = best_x
+    by_out[:] = best_y
+    bm_out[:] = best_merit
+    maxlam_out[:] = jnp.max(jnp.where(act > 0, lam, 0.0), axis=2,
+                            keepdims=True)
+
+
+def _pe_band_mv(pe_d, pe_u, x, blk: int):
+    """Block-tridiagonal matvec kron-band(P) @ x from the stacked band."""
+    m_blk = pe_d.shape[1]
+    out = []
+    for i in range(m_blk):
+        o = _sdot3(pe_d[:, i], x[:, i * blk:(i + 1) * blk, :])
+        if i + 1 < m_blk:
+            o = o + _sdot3(pe_u[:, i], x[:, (i + 1) * blk:(i + 2) * blk, :])
+        if i:
+            o = o + _dot_t(pe_u[:, i - 1], x[:, (i - 1) * blk:i * blk, :])
+        out.append(o)
+    return jnp.concatenate(out, axis=1)
+
+
+def ipm_pipe_step(gt, b, rb, pe_d, pe_u, q, x, s, lam, y, bx, by, bm,
+                  sinv, t, tt, dsc, rhs, act, cw, *,
+                  nb_p: int, n_ball: int, mc: int, sigma_min: float,
+                  tau: float, alpha_max: float, w_cap: float, reg: float,
+                  snap_rho: float, blk: int, upd_mode: str, eval_mode: str,
+                  interpret=None):
+    """Pipelined IPM step (see _pipe_kernel).  All args S-blocked; returns
+    (x, s, lam, y, bx, by, bm, max_lam, hd, hu, rhs)."""
+    return _ipm_pipe_step_jit(
+        gt, b, rb, pe_d, pe_u, q, x, s, lam, y, bx, by, bm, sinv, t, tt,
+        dsc, rhs, act, cw, nb_p=nb_p, n_ball=n_ball, mc=mc,
+        sigma_min=sigma_min, tau=tau, alpha_max=alpha_max, w_cap=w_cap,
+        reg=reg, snap_rho=snap_rho, blk=blk, upd_mode=upd_mode,
+        eval_mode=eval_mode, interpret=_resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nb_p", "n_ball", "mc", "sigma_min", "tau", "alpha_max", "w_cap",
+    "reg", "snap_rho", "blk", "upd_mode", "eval_mode", "interpret"))
+def _ipm_pipe_step_jit(gt, b, rb, pe_d, pe_u, q, x, s, lam, y, bx, by, bm,
+                       sinv, t, tt, dsc, rhs, act, cw, *,
+                       nb_p: int, n_ball: int, mc: int, sigma_min: float,
+                       tau: float, alpha_max: float, w_cap: float,
+                       reg: float, snap_rho: float, blk: int,
+                       upd_mode: str, eval_mode: str, interpret: bool):
+    s_blk, nfd, m_p = gt.shape
+    kernel = functools.partial(
+        _pipe_kernel, nb_p=nb_p, n_ball=n_ball, mc=mc, sigma_min=sigma_min,
+        tau=tau, alpha_max=alpha_max, w_cap=w_cap, reg=reg,
+        snap_rho=snap_rho, blk=blk, upd_mode=upd_mode, eval_mode=eval_mode)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    row = jax.ShapeDtypeStruct((s_blk, 1, m_p), jnp.float32)
+    col = jax.ShapeDtypeStruct((s_blk, nfd, 1), jnp.float32)
+    one = jax.ShapeDtypeStruct((s_blk, 1, 1), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            col, row, row, row,                              # x s lam y
+            col, row, one,                                   # bx by bm
+            one,                                             # max_lam
+            jax.ShapeDtypeStruct((s_blk, nfd, blk), jnp.float32),   # hd
+            jax.ShapeDtypeStruct((s_blk, nfd - blk, blk), jnp.float32),
+            col,                                             # rhs
+        ),
+        in_specs=[vmem] * 20,
+        out_specs=(vmem,) * 11,
+        interpret=interpret,
+    )(gt, b, rb, pe_d, pe_u, q, x, s, lam, y, bx, by, bm, sinv, t, tt,
+      dsc, rhs, act, cw)
+
+
 def _resolve_interpret(interpret):
     if interpret is None:
         return jax.default_backend() == "cpu"
@@ -366,6 +577,74 @@ def _band_factor_solve(gram, pe_d, pe_u, reg, rhs, blk: int):
     for i in range(m_blk - 2, -1, -1):
         x_p[i] = z[i] - _sdot3(w_f[i], x_p[i + 1])
     return jnp.concatenate([x_p[i] * dsc[i] for i in range(m_blk)], axis=1)
+
+
+def _c_lanes_k(y, rb, nb_p: int, n_ball: int):
+    """Constraint values in lane layout from y (S, 1, m_p) (shared by the
+    fused/pipelined kernels; same math as solver/ipm_lanes._c_lanes)."""
+    m_p = y.shape[-1]
+    yx = y[:, :, 0:nb_p]
+    yy = y[:, :, nb_p:2 * nb_p]
+    yz = y[:, :, 2 * nb_p:3 * nb_p]
+    cb = 0.5 * (yx * yx + yy * yy + yz * yz - rb * rb)
+    ball = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb_p), 2) < n_ball
+    parts = [jnp.where(ball, cb, yx), jnp.where(ball, cb, yy),
+             jnp.where(ball, cb, yz)]
+    if m_p > 3 * nb_p:
+        parts.append(y[:, :, 3 * nb_p:])
+    return jnp.concatenate(parts, axis=2)
+
+
+def _jdx_lanes_k(gdx, y, nb_p: int, n_ball: int):
+    """J dx in lane layout from gdx = G dx (both (S, 1, m_p))."""
+    m_p = y.shape[-1]
+    jb = (y[:, :, 0:nb_p] * gdx[:, :, 0:nb_p]
+          + y[:, :, nb_p:2 * nb_p] * gdx[:, :, nb_p:2 * nb_p]
+          + y[:, :, 2 * nb_p:3 * nb_p] * gdx[:, :, 2 * nb_p:3 * nb_p])
+    ball = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb_p), 2) < n_ball
+    parts = [jnp.where(ball, jb, gdx[:, :, c * nb_p:(c + 1) * nb_p])
+             for c in range(3)]
+    if m_p > 3 * nb_p:
+        parts.append(gdx[:, :, 3 * nb_p:])
+    return jnp.concatenate(parts, axis=2)
+
+
+def _max_step_k(v, dv, tau: float):
+    inf32 = jnp.float32(jnp.inf)
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), inf32)
+    return jnp.minimum(1.0, tau * jnp.min(ratio, axis=2, keepdims=True))
+
+
+def _merit_k(c, s, lam, act, cw, mc: int):
+    inf32 = jnp.float32(jnp.inf)
+    m1 = jnp.max(jnp.where(act > 0, jnp.maximum(c, 0.0), -inf32),
+                 axis=2, keepdims=True)
+    m2 = jnp.max(jnp.where(act > 0, jnp.abs(c + s), -inf32),
+                 axis=2, keepdims=True)
+    m3 = jnp.sum(cw * s * lam, axis=2, keepdims=True) / mc
+    return m1 + m2 + m3
+
+
+def _factored_col_solve(sinv, t, tt, dsc, rhs, blk: int):
+    """Block-Thomas solve of one column against precomputed equilibrated
+    factors, all in VMEM (the ADMM _kernel_fused_factored sweep pattern,
+    single-column RHS).  sinv: (S, m, b, b); t/tt: (S, m-1, b, b) with
+    t[:, i-1] = U_{i-1}^T S_{i-1}^{-1} and tt its transpose; dsc:
+    (S, nfd, 1) Jacobi scale.  Returns dx (S, nfd, 1)."""
+    m_blk = sinv.shape[1]
+    r = rhs * dsc
+    u = [None] * m_blk
+    z = [None] * m_blk
+    for i in range(m_blk):
+        u[i] = r[:, i * blk:(i + 1) * blk, :]
+        if i:
+            u[i] = u[i] - _sdot3(t[:, i - 1], u[i - 1])
+        z[i] = _sdot3(sinv[:, i], u[i])
+    x_p = [None] * m_blk
+    x_p[m_blk - 1] = z[m_blk - 1]
+    for i in range(m_blk - 2, -1, -1):
+        x_p[i] = z[i] - _sdot3(tt[:, i], x_p[i + 1])
+    return jnp.concatenate(x_p, axis=1) * dsc
 
 
 def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,

@@ -117,6 +117,22 @@ class IPMConfig:
     # production schedule); the scan path remains for corrector=True and
     # as the reference implementation.
     fused: bool = False
+    # Lanes path: PIPELINED kernel schedule (ops/ipm_kernel.ipm_pipe_step)
+    # -- one kernel dispatch per Newton/snap step that finishes the
+    # previous step (factored solve + update) and evaluates the next point,
+    # with only the massively-batched block-Thomas band factor left in XLA.
+    # Keeps XLA's batch-parallel factor (the fully-fused kernel's
+    # per-instance factor measured slower) while eliminating the per-step
+    # gt_matvec dispatch, solve concatenates, and elementwise update chain.
+    # Requires corrector=False.  Mutually exclusive with `fused`.
+    pipelined: bool = False
+    # Pipelined path: re-factorize the Newton Hessian only every k-th step
+    # (modified-Newton IPM).  The block-Thomas band factor is the dominant
+    # serial XLA section per step; with fixed centering (corrector=False,
+    # sigma_min) and a warm start, directions from a k-step-stale factor
+    # against the FRESH rhs still descend, and the snap repairs the tail.
+    # 1 = classic (factor every step).  Snap sweeps always share one factor.
+    refactor_every: int = 1
     # Scenario block for the FUSED kernel only (the ADMM kernel and the
     # non-fused lanes path keep the caller's scenario_block).  The fused
     # kernel's working set (G^T + the scaled Gram operands + aj, all

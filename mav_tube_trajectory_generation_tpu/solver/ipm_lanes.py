@@ -414,7 +414,98 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
         return (x_new, s_new, lam_new, y_new, best_x, best_y, best_merit), \
             max_lam
 
-    if config.fused:
+    if config.fused and config.pipelined:
+        raise ValueError("fused and pipelined are mutually exclusive")
+    if config.pipelined:
+        if config.corrector:
+            raise ValueError("pipelined lanes IPM implements the production "
+                             "corrector=False schedule only")
+        g3 = lambda a: a.reshape((bsz // s_blk, s_blk) + a.shape[1:])
+        ug = lambda a: a.reshape((bsz,) + a.shape[2:])
+        act3 = jnp.asarray(maps.act).reshape(1, 1, m_p)
+        cw3 = jnp.asarray(maps.cw).reshape(1, 1, m_p)
+        m_blk = nfd // blk
+        pipe_kw = dict(nb_p=nb_p, n_ball=n_ball, mc=mc,
+                       sigma_min=float(sigma_min), tau=float(config.tau),
+                       alpha_max=float(alpha_max), w_cap=float(w_cap),
+                       reg=float(config.reg),
+                       snap_rho=float(config.snap_rho), blk=blk)
+
+        def pipe(state, factors, upd_mode, eval_mode):
+            outs = jax.vmap(lambda *a: ipm_kernel.ipm_pipe_step(
+                *a, act3, cw3, upd_mode=upd_mode, eval_mode=eval_mode,
+                interpret=interpret, **pipe_kw))(
+                g3(gt), g3(b_pad), g3(rb_pad[:, None, :]), g3(pe_d),
+                g3(pe_u), g3(q_flat), *[g3(v) for v in state],
+                *[g3(v) for v in factors])
+            return ([ug(o) for o in outs[:7]], ug(outs[7])[:, 0, 0],
+                    (ug(outs[8]), ug(outs[9]), ug(outs[10])))
+
+        def factor_xla(band):
+            hd_f, hu_f, rhs = band
+            hd4 = hd_f.reshape(bsz, m_blk, blk, blk)
+            hu4 = hu_f.reshape(bsz, m_blk - 1, blk, blk)
+            diag = jnp.diagonal(hd4, axis1=-2, axis2=-1).reshape(bsz, nfd)
+            d = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+            db = d.reshape(bsz, m_blk, blk)
+            hd_s = hd4 * db[:, :, :, None] * db[:, :, None, :]
+            hu_s = hu4 * db[:, :-1, :, None] * db[:, 1:, None, :]
+            s_inv, t_lst = banded.spd_block_tridiag_factor(hd_s, hu_s)
+            sinv_st = jnp.stack(s_inv, axis=1)
+            t_st = jnp.stack(t_lst[1:], axis=1)
+            return (sinv_st, t_st, jnp.swapaxes(t_st, -1, -2),
+                    d.reshape(bsz, nfd, 1), rhs)
+
+        state = [x_flat0, s_lane[:, None, :], lam_lane[:, None, :], y0,
+                 x_flat0, y0,
+                 jnp.full((bsz, 1, 1), jnp.inf, f32)]
+        zeros_f = (jnp.zeros((bsz, m_blk, blk, blk), f32),
+                   jnp.zeros((bsz, m_blk - 1, blk, blk), f32),
+                   jnp.zeros((bsz, m_blk - 1, blk, blk), f32),
+                   jnp.zeros((bsz, nfd, 1), f32),
+                   jnp.zeros((bsz, nfd, 1), f32))
+        snap_iters_p = config.snap_iters
+        first_eval = "newton" if config.n_iters else (
+            "snap" if snap_iters_p else "none")
+        state, _, band = pipe(state, zeros_f, "none", first_eval)
+        lam_mid = None
+        lam_last = None
+        factors = None
+        for i in range(1, config.n_iters + 1):
+            eval_mode = ("newton" if i < config.n_iters
+                         else ("snap" if snap_iters_p else "none"))
+            if factors is None or (i - 1) % config.refactor_every == 0:
+                factors = factor_xla(band)
+            else:
+                # Stale factor, fresh rhs (modified Newton).
+                factors = factors[:4] + (band[2],)
+            state, max_lam, band = pipe(state, factors, "newton",
+                                        eval_mode)
+            if i == config.n_iters // 2 + 1:
+                lam_mid = max_lam
+            lam_last = max_lam
+        for j in range(1, snap_iters_p + 1):
+            eval_mode = "snap" if j < snap_iters_p else "none"
+            # Every snap sweep gets a fresh factor: the clipped active set
+            # moves enough between sweeps that a shared factor measurably
+            # fattens the violation tail (same finding as refactor_every>1
+            # on the Newton steps).
+            state, _, band = pipe(state, factor_xla(band), "snap",
+                                  eval_mode)
+        x_run, s_row, lam_row, y_row, bx, by, bm = state
+        x_fin = bx
+        y_fin = by[:, 0, :]
+        s_fin = s_row[:, 0, :]
+        lam_fin = lam_row[:, 0, :]
+        y_last = y_row[:, 0, :]
+        best_merit = bm[:, 0, 0]
+        if lam_last is None:            # snap-only (n_iters=0): no Newton
+            lam_growth = jnp.ones((bsz,), f32)   # dynamic certificate off
+        else:
+            lam_growth = (lam_last
+                          / jnp.maximum(lam_mid if lam_mid is not None
+                                        else lam_last, 1e-30))
+    elif config.fused:
         if config.corrector:
             raise ValueError("fused lanes IPM implements the production "
                              "corrector=False schedule only")
@@ -464,7 +555,8 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
     # sweeps.
     snap_iters = config.snap_iters
     snap_rho = config.snap_rho
-    if snap_iters and not config.fused:   # fused kernel snaps in-kernel
+    if snap_iters and not (config.fused or config.pipelined):
+        # (fused/pipelined paths snap in-kernel)
         snap_alphas = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01,
                        0.003)
 

@@ -47,6 +47,7 @@ def scenario_batch():
             jnp.asarray(waypoints), jnp.asarray(radii), a)
 
 
+@pytest.mark.slow
 def test_lanes_matches_rows_solutions(scenario_batch):
     """Warm-started lanes IPM lands on the rows backend's optima: median
     cost within 0.1%, worst within 1% (both f32 endgames are chaotic -- the
@@ -69,6 +70,7 @@ def test_lanes_matches_rows_solutions(scenario_batch):
         max(2.0 * float(np.median(np.asarray(a.max_violation))), 1e-4)
 
 
+@pytest.mark.slow
 def test_lanes_improves_admm_tail(scenario_batch):
     """The safeguarded lanes endgame keeps every scenario under the 1e-3
     class and the median in the 1e-4 class (the rows path relies on
@@ -83,6 +85,7 @@ def test_lanes_improves_admm_tail(scenario_batch):
     assert np.median(v) < 2e-4, v
 
 
+@pytest.mark.slow
 def test_lanes_cold_start_runs(scenario_batch):
     free, df, times, waypoints, radii, _ = scenario_batch
     lanes = ipm_lanes.solve_qcqp_ipm_lanes(
@@ -93,6 +96,7 @@ def test_lanes_cold_start_runs(scenario_batch):
     assert np.median(v) < 1e-2, v
 
 
+@pytest.mark.slow
 def test_lanes_scenario_block_invariance(scenario_batch):
     """S-blocking is a layout choice, not a semantic one."""
     free, df, times, waypoints, radii, a = scenario_batch
@@ -109,6 +113,7 @@ def test_lanes_scenario_block_invariance(scenario_batch):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lanes_static_infeasibility_certificate(scenario_batch):
     """A fixed start state far outside the corridor makes constant
     constraint rows violated: the static certificate must fire."""
@@ -124,6 +129,7 @@ def test_lanes_static_infeasibility_certificate(scenario_batch):
     assert bool(np.asarray(lanes.infeasible).all())
 
 
+@pytest.mark.slow
 def test_fused_kernel_matches_scan_path(scenario_batch):
     """The whole-IPM fused kernel (ops/ipm_kernel.ipm_solve_fused) lands in
     the scan path's solution class: costs within 0.1% median / 1% worst,
@@ -156,6 +162,31 @@ def test_fused_kernel_matches_scan_path(scenario_batch):
             config=ipm.IPMConfig(n_iters=2, fused=True), **kw)
 
 
+@pytest.mark.slow
+def test_pipelined_kernel_matches_scan_path(scenario_batch):
+    """The pipelined step kernel (ops/ipm_kernel.ipm_pipe_step: previous
+    step's factored solve + update fused with the next eval, XLA keeping
+    only the batched band factor) lands in the scan path's solution class."""
+    free, df, times, waypoints, radii, a = scenario_batch
+    kw = dict(x0=a.d_free, lam0_ball=a.dual_ball, lam0_half=a.dual_half,
+              scenario_block=4)
+    scan = ipm_lanes.solve_qcqp_ipm_lanes(
+        free, df, times, waypoints, radii,
+        config=ipm.IPMConfig(n_iters=10, sigma_min=0.3, corrector=False),
+        **kw)
+    pipe = ipm_lanes.solve_qcqp_ipm_lanes(
+        free, df, times, waypoints, radii,
+        config=ipm.IPMConfig(n_iters=10, sigma_min=0.3, corrector=False,
+                             pipelined=True), **kw)
+    rel = np.abs(np.asarray(pipe.cost) - np.asarray(scan.cost)) \
+        / np.asarray(scan.cost)
+    assert np.median(rel) < 1e-3, rel
+    assert rel.max() < 1e-2, rel
+    v = np.asarray(pipe.max_violation)
+    assert v.max() < 3e-3, v
+    assert np.median(v) < 2e-4, v
+
+
 def test_finite_step_mask_catches_nan_directions():
     """A NaN Newton direction yields a *finite* alpha (NaN < 0 is False in
     the fraction-to-boundary ratios -> all inf -> alpha = 1.0), so the
@@ -176,6 +207,7 @@ def test_finite_step_mask_catches_nan_directions():
                                   [True, False, False])
 
 
+@pytest.mark.slow
 def test_lanes_internal_batch_padding(scenario_batch):
     """A batch that is not a scenario_block multiple is padded internally
     and the outputs sliced back -- same contract as solve_qcqp_batch."""

@@ -126,6 +126,7 @@ def test_extrema_vs_sampling(n):
         assert analytic >= sampled - 1e-6
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", NS)
 def test_qcqp_xla_f64_feasible(n):
     """Tube QCQP (XLA path, f64) reaches feasibility at every N."""
@@ -137,6 +138,7 @@ def test_qcqp_xla_f64_feasible(n):
     assert np.isfinite(float(s.cost))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", NS)
 def test_ipm_converges_all_n(n):
     free, dff, times, wp, radii = qcqp_problem(n)
@@ -145,6 +147,7 @@ def test_ipm_converges_all_n(n):
     assert float(s.max_violation) < 1e-6
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", NS)
 def test_qcqp_pallas_matches_xla_f32(n):
     """_PadLayout lane math + the in-kernel block-Thomas sweeps hold at
@@ -171,6 +174,7 @@ def test_qcqp_pallas_matches_xla_f32(n):
     assert float(sx.cost) == pytest.approx(float(s64.cost), rel=2e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [8, 12])
 def test_nonlinear_optimize_all_n(n):
     structure, d_fixed, times, _ = linear_problem(n, seed=7)

@@ -87,6 +87,7 @@ def test_shard_scenarios_generic_wrapper():
     np.testing.assert_allclose(np.asarray(costs), np.asarray(ref), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()
@@ -96,6 +97,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_solve_qcqp_sharded_matches_unsharded():
     """solve_qcqp_sharded (XLA path on the virtual mesh) must match the
     per-scenario vmap solve and psum the feasibility count."""
@@ -127,6 +129,7 @@ def test_solve_qcqp_sharded_matches_unsharded():
         jnp.sum((ref.max_violation < 1e-2).astype(jnp.float32)))
 
 
+@pytest.mark.slow
 def test_polished_path_sharded_matches_unsharded():
     """The Mosek-grade path (ADMM + plane-layout IPM polish) under
     shard_map on the 8-device virtual mesh: per-scenario outputs must match
@@ -174,6 +177,7 @@ def test_polished_path_sharded_matches_unsharded():
         jnp.sum((ref.max_violation < 1e-4).astype(jnp.float32)))
 
 
+@pytest.mark.slow
 def test_two_process_distributed_linear_solve(tmp_path):
     """REAL multi-process jax.distributed exercise (round-1 VERDICT missing
     #2): two CPU processes (4 virtual devices each) form one 8-device global
