@@ -165,20 +165,19 @@ def solve_qcqp_auto(structure: ProblemStructure,
     nb = _bucket(n_esc, scenario_block)
     idx_pad = np.concatenate([idx, np.full(nb - n_esc, idx[-1],
                                            dtype=idx.dtype)])
-    gather = lambda arr: jnp.asarray(arr)[jnp.asarray(idx_pad)]
+    # Tier 1 with the index gathers INSIDE the jitted program (one dispatch
+    # instead of seven eager gathers over a possibly-remote device link).
     f1 = _cached_jit(
         ("tier1", id(structure), ipm_config, scenario_block, interpret, nb),
-        lambda: (lambda df, t, w, r, x0_, lb, lh:
+        lambda: (lambda df, t, w, r, x0_, lb, lh, ip:
                  ipm_lanes.solve_qcqp_ipm_lanes(
-                     structure, df, t, w, r, config=ipm_config, x0=x0_,
-                     lam0_ball=lb, lam0_half=lh,
-                     scenario_block=scenario_block, interpret=interpret)))
-    polished = f1(gather(d_fixed), gather(times), gather(waypoints),
-                  gather(radii), a.d_free[jnp.asarray(idx_pad)],
-                  a.dual_ball[jnp.asarray(idx_pad)],
-                  a.dual_half[jnp.asarray(idx_pad)])
-
-    take = jax.tree_util.tree_map(lambda arr: arr[:n_esc], polished)
+                     structure, df[ip], t[ip], w[ip], r[ip],
+                     config=ipm_config, x0=x0_[ip], lam0_ball=lb[ip],
+                     lam0_half=lh[ip], scenario_block=scenario_block,
+                     interpret=interpret)))
+    polished = f1(jnp.asarray(d_fixed), jnp.asarray(times),
+                  jnp.asarray(waypoints), jnp.asarray(radii), a.d_free,
+                  a.dual_ball, a.dual_half, jnp.asarray(idx_pad))
 
     # Tier 2: rows the f32 lanes polish leaves above the strict gate without
     # an infeasibility certificate -- on tight corridors the f32 endgame
@@ -189,8 +188,8 @@ def solve_qcqp_auto(structure: ProblemStructure,
     # router verdicts match it by construction).  Requires jax_enable_x64;
     # without it the tier-1 verdict stands (conservative: UNDETERMINED rows
     # stay undetermined, never false-feasible).
-    t1_viol = np.asarray(take.max_violation)
-    t1_inf = np.asarray(take.infeasible)
+    t1_viol = np.asarray(polished.max_violation)[:n_esc]
+    t1_inf = np.asarray(polished.infeasible)[:n_esc]
     need2 = (t1_viol >= strict_gate) & ~t1_inf
     if tier2_f64 and need2.any() and jax.config.read("jax_enable_x64"):
         from .ipm import solve_qcqp_polished
@@ -207,28 +206,41 @@ def solve_qcqp_auto(structure: ProblemStructure,
             jnp.asarray(times, f64)[jnp.asarray(gidx)],
             jnp.asarray(waypoints, f64)[jnp.asarray(gidx)],
             jnp.asarray(radii, f64)[jnp.asarray(gidx)])
-        take = QCQPSolution(*(
-            (tf if pf is None else
+        polished = QCQPSolution(*(
+            (tf if pf is None or tf is None else
              jnp.asarray(tf).at[jnp.asarray(sub)].set(
                  jnp.asarray(pf, jnp.asarray(tf).dtype)))
-            for tf, pf in zip(take, pol64)))
+            for tf, pf in zip(polished, pol64)))
+        t1_viol = np.asarray(polished.max_violation)[:n_esc]
+        t1_inf = np.asarray(polished.infeasible)[:n_esc]
 
-    # Scatter the escalated rows back (host-side: the batch already crossed
-    # the jit boundary for the gate decision).
-    idx_j = jnp.asarray(idx)
+    # Scatter the escalated rows back in ONE jitted program (keyed by the
+    # bucket size, not n_esc): pad entries of idx_pad all point at the last
+    # failure row, and `src` re-gathers that row's CURRENT (post-tier-2)
+    # values for them, so the duplicate writes are identical and the
+    # scatter's write order cannot matter.
+    src = np.concatenate([np.arange(n_esc),
+                          np.full(nb - n_esc, n_esc - 1)]).astype(np.int32)
+    pair_mask = tuple(af is not None and pf is not None
+                      for af, pf in zip(a, polished))
+    f_m = _cached_jit(
+        ("merge", nb, pair_mask, tuple(jnp.asarray(af).dtype.name
+                                       if m else None
+                                       for m, af in zip(pair_mask, a))),
+        lambda: (lambda ip, sr, a_list, p_list: [
+            af.at[ip].set(pf[sr].astype(af.dtype))
+            for af, pf in zip(a_list, p_list)]))
+    merged_fields = f_m(jnp.asarray(idx_pad), jnp.asarray(src),
+                        [jnp.asarray(af) for m, af in zip(pair_mask, a)
+                         if m],
+                        [jnp.asarray(pf) for m, pf in zip(pair_mask,
+                                                          polished) if m])
+    it = iter(merged_fields)
+    merged = QCQPSolution(*(next(it) if m else af
+                            for m, af in zip(pair_mask, a)))
 
-    def merge(a_field, p_field):
-        if a_field is None or p_field is None:
-            return a_field
-        return jnp.asarray(a_field).at[idx_j].set(
-            jnp.asarray(p_field, jnp.asarray(a_field).dtype))
-
-    merged = QCQPSolution(*(merge(af, pf) for af, pf in zip(a, take)))
-
-    p_viol = np.asarray(take.max_violation)
-    p_inf = np.asarray(take.infeasible)
-    v_esc = np.where(p_viol < strict_gate, FEASIBLE,
-                     np.where(p_inf, INFEASIBLE, UNDETERMINED)).astype(
+    v_esc = np.where(t1_viol < strict_gate, FEASIBLE,
+                     np.where(t1_inf, INFEASIBLE, UNDETERMINED)).astype(
         np.int8)
     verdict[idx] = v_esc
     return AutoResult(solution=merged, verdict=verdict,
