@@ -39,6 +39,8 @@ from .solver.banded import solve_linear_banded, block_tridiag_solve
 from .solver.ipm import IPMConfig, solve_qcqp_ipm, solve_qcqp_polished
 from .solver.ipm_lanes import (solve_qcqp_ipm_lanes,
                                solve_qcqp_polished_batch)
+from .solver.auto import (AutoResult, FEASIBLE, INFEASIBLE, UNDETERMINED,
+                          solve_qcqp_auto, solve_qcqp_strict)
 from .solver.nonlinear import (Objective, CostWeights, MagnitudeConstraint,
                                NonlinearParameters, NonlinearResult,
                                optimize, optimize_time_gradient)
