@@ -72,12 +72,18 @@ def _cached_jit(key, builder):
 
 
 def _bucket(n: int, block: int) -> int:
-    """Smallest power-of-two multiple of ``block`` >= n (bounded program
-    count: at most log2(B) escalation shapes ever compile)."""
+    """Escalation-batch bucket size >= n: power-of-two multiples of
+    ``block`` up to 256 (tiny escalation sets on generous corridors), then
+    multiples of 256 (a 1079-row set padded to a 2048 power-of-two bucket
+    measurably halves blended throughput; 256-granularity keeps the
+    compiled-shape count bounded at ~log2(256) + B/256 while wasting at
+    most 255 rows of polish)."""
     b = block
-    while b < n:
+    while b < min(n, 256):
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return ((n + 255) // 256) * 256
 
 
 def solve_qcqp_auto(structure: ProblemStructure,
