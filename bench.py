@@ -159,18 +159,31 @@ def main():
                 free, df_free, times, waypoints, radii,
                 warmstart_values=values, scenario_block=4)
 
-        res = strict_once()                          # compile + warm
-        t0 = time.perf_counter()
-        n_rep = 3
-        for _ in range(n_rep):
-            res = strict_once()
-        dtp = (time.perf_counter() - t0) / n_rep
-        violp = jnp.asarray(res.solution.max_violation)
-        n_strict = int(jnp.sum(violp < 1e-4))
-        print(f"[bench] strict-feasibility (router: ADMM+snap -> IPM "
-              f"escalation): {batch/dtp:,.0f} solves/s; {n_strict}/{batch} "
-              f"at viol<1e-4 (p99 {float(jnp.percentile(violp, 99)):.1e}; "
-              f"{res.n_escalated} escalated)", file=sys.stderr)
+        # The strict line must not take the headline down with it: the
+        # long-lived axon TPU worker occasionally crashes mid-compile of a
+        # fresh program ("TPU worker process crashed or restarted",
+        # observed ~8h into heavy sessions; the identical program runs
+        # fine on retry in a fresh process).  One retry, then skip.
+        for attempt in range(2):
+            try:
+                res = strict_once()                  # compile + warm
+                t0 = time.perf_counter()
+                n_rep = 3
+                for _ in range(n_rep):
+                    res = strict_once()
+                dtp = (time.perf_counter() - t0) / n_rep
+                violp = jnp.asarray(res.solution.max_violation)
+                n_strict = int(jnp.sum(violp < 1e-4))
+                print(f"[bench] strict-feasibility (router: ADMM+snap -> "
+                      f"IPM escalation): {batch/dtp:,.0f} solves/s; "
+                      f"{n_strict}/{batch} at viol<1e-4 "
+                      f"(p99 {float(jnp.percentile(violp, 99)):.1e}; "
+                      f"{res.n_escalated} escalated)", file=sys.stderr)
+                break
+            except Exception as e:                   # noqa: BLE001
+                print(f"[bench] strict-feasibility attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:200]}",
+                      file=sys.stderr)
 
         # Mosek-verdict agreement vs the interior-point ground truth
         # (recorded 12k-scenario study; benchmarks/verdict_parity.py).
