@@ -3,8 +3,9 @@
 Round-2 VERDICT missing #1: the 12k-scenario parity study's ground truth is
 the repo's OWN f64 ADMM+IPM -- self-referential.  The reference's authority
 is an external interior-point solver (Mosek, qcqp_impl.h:709-770).  This
-study grounds the claim externally: scipy's trust-constr (an independent
-interior-point/SQP implementation, f64) solves the EXACT same QCQPs --
+study grounds the claim externally: scipy's SLSQP (an independent
+sequential-least-squares QP implementation, f64; see solve_scipy for the
+trust-constr comparison) solves the EXACT same QCQPs --
 objective 0.5 x^T kron(R_pp, I3) x + q^T x, ball constraints
 0.5(||A_i x + b_i||^2 - r_i^2) <= 0, half-space rows -- on a slice
 stratified across the four corridor-radius buckets plus the

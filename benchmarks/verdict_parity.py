@@ -24,7 +24,11 @@ optimum) on scenarios both deem feasible -- the optimality price of the
 headline's first-order gate.
 
 Usage: python benchmarks/verdict_parity.py [--total=12288] [--chunk=2048]
-       [--ipm-iters=30] [--router]
+       [--ipm-iters=30] [--router] [--write]
+
+--write: update the canonical benchmarks/*_results.json this study is
+recorded under (bench.py reports those numbers); without it results go to
+a *_scratch.json so debug runs can't clobber the recorded study.
 
 --router: route the device path through solver/auto.solve_qcqp_auto (ADMM
 gate + selective IPM escalation + f64 tier-2) instead of the bare gated
@@ -203,8 +207,15 @@ def main():
         "seconds": round(t_solve, 2),
     })
     print("[parity] " + json.dumps(report), flush=True)
+    # The canonical results files are what bench.py reports as "recorded"
+    # studies: only overwrite them on an explicit --write (debug runs at
+    # reduced --total otherwise silently replace the recorded study).
     out = ("benchmarks/verdict_parity_router_results.json" if router
            else "benchmarks/verdict_parity_results.json")
+    if "--write" not in sys.argv:
+        out = out.replace("_results.json", "_scratch.json")
+        print(f"[parity] (scratch run; pass --write to update the "
+              f"recorded study) -> {out}", flush=True)
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
 

@@ -207,7 +207,8 @@ def _pipe_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
                  maxlam_out, hd_out, hu_out, rhs_out,
                  *, nb_p: int, n_ball: int, mc: int, sigma_min: float,
                  tau: float, alpha_max: float, w_cap: float, reg: float,
-                 snap_rho: float, blk: int, upd_mode: str, eval_mode: str):
+                 snap_rho: float, blk: int, upd_mode: str, eval_mode: str,
+                 gram_precision: str = "highest"):
     """One PIPELINED IPM step: finish the previous Newton/snap step (solve
     its direction from the XLA-computed block-Thomas factors + apply the
     update) and evaluate the next point (emit the Hessian BAND + rhs for
@@ -291,8 +292,8 @@ def _pipe_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
         y_e, c_e, jtwr2, jts, lam_ball, aj, w_aj = _eval_core(
             gt, b_ref[:], rb, x, s, lam, nb_p=nb_p, n_ball=n_ball,
             w_cap=w_cap, phr=False)
-        gram = (_gram_dot(gt * lam_ball, gt, "highest")
-                + _gram_dot(aj * w_aj, aj, "highest"))
+        gram = (_gram_dot(gt * lam_ball, gt, gram_precision)
+                + _gram_dot(aj * w_aj, aj, gram_precision))
         mu = jnp.sum(cw * s * lam, axis=2, keepdims=True) / mc
         sig_mu = sigma_min * mu
         rhs_new = -(_pe_band_mv(pe_d_ref[:], pe_u_ref[:], x, blk) + q_ref[:]
@@ -307,8 +308,8 @@ def _pipe_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
         _, _, jtwr2, _, lam_ball, aj, w_aj = _eval_core(
             gt, b_ref[:], rb, best_x, s_s, lam_s, nb_p=nb_p,
             n_ball=n_ball, w_cap=snap_rho, phr=True)
-        gram = (_gram_dot(gt * lam_ball, gt, "highest")
-                + _gram_dot(aj * w_aj, aj, "highest"))
+        gram = (_gram_dot(gt * lam_ball, gt, gram_precision)
+                + _gram_dot(aj * w_aj, aj, gram_precision))
         rhs_new = -jtwr2
         reg_e = 1e-6
 
@@ -363,7 +364,7 @@ def ipm_pipe_step(gt, b, rb, pe_d, pe_u, q, x, s, lam, y, bx, by, bm,
                   nb_p: int, n_ball: int, mc: int, sigma_min: float,
                   tau: float, alpha_max: float, w_cap: float, reg: float,
                   snap_rho: float, blk: int, upd_mode: str, eval_mode: str,
-                  interpret=None):
+                  gram_precision: str = "highest", interpret=None):
     """Pipelined IPM step (see _pipe_kernel).  All args S-blocked; returns
     (x, s, lam, y, bx, by, bm, max_lam, hd, hu, rhs)."""
     return _ipm_pipe_step_jit(
@@ -371,23 +372,27 @@ def ipm_pipe_step(gt, b, rb, pe_d, pe_u, q, x, s, lam, y, bx, by, bm,
         dsc, rhs, act, cw, nb_p=nb_p, n_ball=n_ball, mc=mc,
         sigma_min=sigma_min, tau=tau, alpha_max=alpha_max, w_cap=w_cap,
         reg=reg, snap_rho=snap_rho, blk=blk, upd_mode=upd_mode,
-        eval_mode=eval_mode, interpret=_resolve_interpret(interpret))
+        eval_mode=eval_mode, gram_precision=gram_precision,
+        interpret=_resolve_interpret(interpret))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "nb_p", "n_ball", "mc", "sigma_min", "tau", "alpha_max", "w_cap",
-    "reg", "snap_rho", "blk", "upd_mode", "eval_mode", "interpret"))
+    "reg", "snap_rho", "blk", "upd_mode", "eval_mode", "gram_precision",
+    "interpret"))
 def _ipm_pipe_step_jit(gt, b, rb, pe_d, pe_u, q, x, s, lam, y, bx, by, bm,
                        sinv, t, tt, dsc, rhs, act, cw, *,
                        nb_p: int, n_ball: int, mc: int, sigma_min: float,
                        tau: float, alpha_max: float, w_cap: float,
                        reg: float, snap_rho: float, blk: int,
-                       upd_mode: str, eval_mode: str, interpret: bool):
+                       upd_mode: str, eval_mode: str, gram_precision: str,
+                       interpret: bool):
     s_blk, nfd, m_p = gt.shape
     kernel = functools.partial(
         _pipe_kernel, nb_p=nb_p, n_ball=n_ball, mc=mc, sigma_min=sigma_min,
         tau=tau, alpha_max=alpha_max, w_cap=w_cap, reg=reg,
-        snap_rho=snap_rho, blk=blk, upd_mode=upd_mode, eval_mode=eval_mode)
+        snap_rho=snap_rho, blk=blk, upd_mode=upd_mode, eval_mode=eval_mode,
+        gram_precision=gram_precision)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     row = jax.ShapeDtypeStruct((s_blk, 1, m_p), jnp.float32)
     col = jax.ShapeDtypeStruct((s_blk, nfd, 1), jnp.float32)
@@ -654,7 +659,8 @@ def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
                   *, nb_p: int, n_ball: int, mc: int, n_iters: int,
                   snap_iters: int, sigma_min: float, tau: float,
                   alpha_max: float, w_cap: float, reg: float,
-                  snap_rho: float, blk: int):
+                  snap_rho: float, blk: int,
+                  gram_precision: str = "highest"):
     """The WHOLE plane-layout IPM polish in one kernel: n_iters single-
     direction Newton steps (fixed centering sigma_min, the production
     corrector=False schedule of solve_qcqp_polished_batch) followed by
@@ -731,8 +737,8 @@ def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
         y, c, jtwr2, jts, lam_ball, aj, w_aj = _eval_core(
             gt, b, rb, x, s_v, lam_v, nb_p=nb_p, n_ball=n_ball,
             w_cap=w_cap_k, phr=phr)
-        gram = (_gram_dot(gt * lam_ball, gt, "highest")
-                + _gram_dot(aj * w_aj, aj, "highest"))
+        gram = (_gram_dot(gt * lam_ball, gt, gram_precision)
+                + _gram_dot(aj * w_aj, aj, gram_precision))
         return y, c, jtwr2, jts, gram
 
     def newton_body(it, carry):
@@ -826,7 +832,8 @@ def ipm_solve_fused(gt, b, rb, pe_d, pe_u, q, x0, s0, lam0, y0, act, cw, *,
                     nb_p: int, n_ball: int, mc: int, n_iters: int,
                     snap_iters: int, sigma_min: float, tau: float,
                     alpha_max: float, w_cap: float, reg: float,
-                    snap_rho: float, blk: int, interpret=None):
+                    snap_rho: float, blk: int,
+                    gram_precision: str = "highest", interpret=None):
     """Whole-IPM fused kernel (see _solve_kernel).  All args S-blocked.
 
     Returns (x_fin, y_fin, s_fin, lam_fin, y_last, best_merit, lam_mid,
@@ -836,25 +843,26 @@ def ipm_solve_fused(gt, b, rb, pe_d, pe_u, q, x0, s0, lam0, y0, act, cw, *,
         gt, b, rb, pe_d, pe_u, q, x0, s0, lam0, y0, act, cw, nb_p=nb_p,
         n_ball=n_ball, mc=mc, n_iters=n_iters, snap_iters=snap_iters,
         sigma_min=sigma_min, tau=tau, alpha_max=alpha_max, w_cap=w_cap,
-        reg=reg, snap_rho=snap_rho, blk=blk,
+        reg=reg, snap_rho=snap_rho, blk=blk, gram_precision=gram_precision,
         interpret=_resolve_interpret(interpret))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "nb_p", "n_ball", "mc", "n_iters", "snap_iters", "sigma_min", "tau",
-    "alpha_max", "w_cap", "reg", "snap_rho", "blk", "interpret"))
+    "alpha_max", "w_cap", "reg", "snap_rho", "blk", "gram_precision",
+    "interpret"))
 def _ipm_solve_fused_jit(gt, b, rb, pe_d, pe_u, q, x0, s0, lam0, y0, act,
                          cw, *, nb_p: int, n_ball: int, mc: int,
                          n_iters: int, snap_iters: int, sigma_min: float,
                          tau: float, alpha_max: float, w_cap: float,
                          reg: float, snap_rho: float, blk: int,
-                         interpret: bool):
+                         gram_precision: str, interpret: bool):
     s_blk, nfd, m_p = gt.shape
     kernel = functools.partial(
         _solve_kernel, nb_p=nb_p, n_ball=n_ball, mc=mc, n_iters=n_iters,
         snap_iters=snap_iters, sigma_min=sigma_min, tau=tau,
         alpha_max=alpha_max, w_cap=w_cap, reg=reg, snap_rho=snap_rho,
-        blk=blk)
+        blk=blk, gram_precision=gram_precision)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     row = jax.ShapeDtypeStruct((s_blk, 1, m_p), jnp.float32)
     one = jax.ShapeDtypeStruct((s_blk, 1, 1), jnp.float32)

@@ -429,7 +429,8 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
                        sigma_min=float(sigma_min), tau=float(config.tau),
                        alpha_max=float(alpha_max), w_cap=float(w_cap),
                        reg=float(config.reg),
-                       snap_rho=float(config.snap_rho), blk=blk)
+                       snap_rho=float(config.snap_rho), blk=blk,
+                       gram_precision=config.gram_precision)
 
         def pipe(state, factors, upd_mode, eval_mode):
             outs = jax.vmap(lambda *a: ipm_kernel.ipm_pipe_step(
@@ -522,7 +523,8 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
             sigma_min=float(sigma_min), tau=float(config.tau),
             alpha_max=float(alpha_max), w_cap=float(w_cap),
             reg=float(config.reg), snap_rho=float(config.snap_rho),
-            blk=blk, interpret=interpret))(
+            blk=blk, gram_precision=config.gram_precision,
+            interpret=interpret))(
             g3(gt), g3(b_pad), g3(rb_pad[:, None, :]), g3(pe_d), g3(pe_u),
             g3(q_flat), g3(x_flat0), g3(s_lane[:, None, :]),
             g3(lam_lane[:, None, :]), g3(y0))
@@ -533,8 +535,14 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
         lam_fin = ug(outs[3])[:, 0, :]
         y_last = ug(outs[4])[:, 0, :]
         best_merit = ug(outs[5])[:, 0, 0]
-        lam_growth = (ug(outs[7])[:, 0, 0]
-                      / jnp.maximum(ug(outs[6])[:, 0, 0], 1e-30))
+        if config.n_iters == 0:         # snap-only: the kernel's lam_mid
+            # output stays 0, so the ratio would be huge and the dynamic
+            # certificate could fire on merely-unconverged feasible rows.
+            # Mirror the pipelined branch's guard (certificate off).
+            lam_growth = jnp.ones((bsz,), f32)
+        else:
+            lam_growth = (ug(outs[7])[:, 0, 0]
+                          / jnp.maximum(ug(outs[6])[:, 0, 0], 1e-30))
     else:
         carry0 = (x_flat0, s_lane, lam_lane, y0[:, 0, :], x_flat0,
                   y0[:, 0, :], jnp.full((bsz,), jnp.inf, f32))

@@ -148,7 +148,8 @@ STOPPING_REASON_STRINGS = {
 }
 
 
-def effective_iterations(cost_history: jnp.ndarray, f_rel: float):
+def effective_iterations(cost_history: jnp.ndarray, f_rel: float,
+                         round_length: int = 0):
     """(n_iterations, stopping_reason) from a per-iteration cost trace.
 
     The reference's NLOPT loop stops at the first iteration whose relative
@@ -157,12 +158,25 @@ def effective_iterations(cost_history: jnp.ndarray, f_rel: float):
     runs fixed-length scans, so the equivalent is derived from the cost
     trace: the first step i with |c_i - c_{i-1}| <= f_rel * |c_i| (else the
     scan length).  Batched: cost_history (..., T) -> ((...,), (...,)) int32.
+
+    ``round_length``: for augmented-Lagrangian traces that concatenate one
+    fixed-length history per penalty round, the objective is DISCONTINUOUS
+    at round boundaries (mu grows al_penalty_growth-fold), so the step
+    crossing each boundary is excluded from the FTOL detection -- it would
+    otherwise fire on (or be masked by) the boundary jump rather than
+    actual convergence.  0 = single continuous trace.
     """
     c = cost_history
     t = c.shape[-1]
     prev, cur = c[..., :-1], c[..., 1:]
     small = jnp.abs(prev - cur) <= f_rel * jnp.maximum(
         jnp.abs(cur), jnp.asarray(1e-30, c.dtype))
+    if round_length:
+        # Pair j compares c[j] -> c[j+1]; boundary pairs have j+1 a round
+        # start (j + 1 ≡ 0 mod round_length).
+        j1 = np.arange(1, t)
+        small = jnp.where(jnp.asarray((j1 % round_length) != 0), small,
+                          False)
     any_small = jnp.any(small, axis=-1)
     first = jnp.argmax(small, axis=-1).astype(jnp.int32) + 1
     n_it = jnp.where(any_small, first, jnp.int32(t))
@@ -531,6 +545,7 @@ def optimize(structure: ProblemStructure,
                  else (lambda d: jnp.clip(d, bounds[0], bounds[1])))
 
     obj = params.objective
+    ftol_round_length = 0     # AL path overrides (per-round FTOL masking)
     if obj == Objective.TIME:
         t_lo = jnp.asarray(params.time_lower_bound, dtype)
         t_hi = params.time_upper_factor * times_init
@@ -575,6 +590,7 @@ def optimize(structure: ProblemStructure,
             # with multiplier updates lam <- relu(lam + mu g) per round.
             n_c = len(constraints)
             inner_iters = max(params.max_iterations // params.al_rounds, 1)
+            ftol_round_length = inner_iters
 
             def g_of(d_free):
                 return jnp.stack([
@@ -641,7 +657,8 @@ def optimize(structure: ProblemStructure,
     maxima = {c.derivative: max_magnitude_from_d(
         structure, d_fixed, d_free_fin, times_fin, c.derivative,
         params.extrema_grid) for c in constraints}
-    n_eff, stop_reason = effective_iterations(history, params.f_rel)
+    n_eff, stop_reason = effective_iterations(
+        history, params.f_rel, round_length=ftol_round_length)
     return NonlinearResult(
         coefficients=sol.coefficients, times=times_fin, d_fixed=d_fixed,
         d_free=d_free_fin, cost=breakdown, initial_cost=breakdown0,
