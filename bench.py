@@ -159,11 +159,13 @@ def main():
                 free, df_free, times, waypoints, radii,
                 warmstart_values=values, scenario_block=4)
 
-        # The strict line must not take the headline down with it: the
-        # long-lived axon TPU worker occasionally crashes mid-compile of a
-        # fresh program ("TPU worker process crashed or restarted",
-        # observed ~8h into heavy sessions; the identical program runs
-        # fine on retry in a fresh process).  One retry, then skip.
+        # The strict line must not take the headline down with it when the
+        # long-lived axon TPU worker crashes mid-compile of a fresh program
+        # ("TPU worker process crashed or restarted", observed ~8h into
+        # heavy sessions; the identical program runs fine on retry in a
+        # fresh process).  Retry ONLY on that signature -- any other
+        # exception is a real regression in solve_qcqp_strict and must
+        # surface with its full traceback.
         for attempt in range(2):
             try:
                 res = strict_once()                  # compile + warm
@@ -174,16 +176,29 @@ def main():
                 dtp = (time.perf_counter() - t0) / n_rep
                 violp = jnp.asarray(res.solution.max_violation)
                 n_strict = int(jnp.sum(violp < 1e-4))
+                n_det = int(np.sum(res.verdict != 0))
                 print(f"[bench] strict-feasibility (router: ADMM+snap -> "
                       f"IPM escalation): {batch/dtp:,.0f} solves/s; "
                       f"{n_strict}/{batch} at viol<1e-4 "
                       f"(p99 {float(jnp.percentile(violp, 99)):.1e}; "
-                      f"{res.n_escalated} escalated)", file=sys.stderr)
+                      f"{res.n_escalated} escalated; "
+                      f"{n_det}/{batch} determinate)", file=sys.stderr)
                 break
             except Exception as e:                   # noqa: BLE001
-                print(f"[bench] strict-feasibility attempt {attempt}: "
-                      f"{type(e).__name__}: {str(e)[:200]}",
-                      file=sys.stderr)
+                known = "worker process crashed or restarted" in str(e)
+                if known and attempt == 0:
+                    print(f"[bench] strict-feasibility attempt {attempt} "
+                          f"hit the known TPU-worker crash; retrying: "
+                          f"{str(e)[:200]}", file=sys.stderr)
+                    continue
+                # A real regression in solve_qcqp_strict: surface the full
+                # traceback (the headline JSON below must still print, so
+                # don't kill the bench with it).
+                import traceback
+                print("[bench] strict-feasibility FAILED (not the known "
+                      "TPU-worker crash):", file=sys.stderr)
+                traceback.print_exc(file=sys.stderr)
+                break
 
         # Mosek-verdict agreement vs the interior-point ground truth
         # (recorded 12k-scenario study; benchmarks/verdict_parity.py).

@@ -1,0 +1,83 @@
+"""Strict-router variant sweep on the real chip (round-4 task #1: >=15k).
+
+Measures the strict router end-to-end (host routing included;
+solve_qcqp_auto at gate=strict_gate=1e-4 == solve_qcqp_strict) under
+combinations of tier-0 snap count, tier-1 IPM schedule, and tier-1
+scenario blocking, reporting solves/s + the strict-quality gate
+(n<1e-4, p99, escalation count) for each.
+
+Usage: python benchmarks/strict_variants.py [--batch=6144] [--reps=3]
+       [--variants=v0,v1,...]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    batch, reps = 6144, 3
+    only = None
+    for a in sys.argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
+        if a.startswith("--reps="):
+            reps = int(a.split("=")[1])
+        if a.startswith("--variants="):
+            only = set(a.split("=")[1].split(","))
+    import jax
+    sys.path.insert(0, "/root/repo")
+    from bench import make_inputs
+    from mav_tube_trajectory_generation_tpu.solver import auto
+    from mav_tube_trajectory_generation_tpu.solver.ipm import IPMConfig
+
+    (std, free, df_std, df_free, times, waypoints, radii,
+     values) = make_inputs(10, batch)
+
+    scan = dict(sigma_min=0.3, corrector=False)
+    variants = {
+        # name: (tier0_snap, tier1_block, tier1 IPMConfig)
+        "v0_base_it10s2_S4": (3, 4, IPMConfig(n_iters=10, **scan)),
+        "v1_it10s2_S8":      (3, 8, IPMConfig(n_iters=10, **scan)),
+        "v2_pipe_it10s2_S8": (3, 8, IPMConfig(n_iters=10, pipelined=True,
+                                              **scan)),
+        "v3_it6s2_S8":       (3, 8, IPMConfig(n_iters=6, **scan)),
+        "v4_snap2_it10s2_S8": (2, 8, IPMConfig(n_iters=10, **scan)),
+        "v5_snap4_it10s2_S8": (4, 8, IPMConfig(n_iters=10, **scan)),
+        "v6_it8s3_S8":       (3, 8, IPMConfig(n_iters=8, snap_iters=3,
+                                              **scan)),
+    }
+
+    for name, (snap0, t1b, cfg) in variants.items():
+        if only and name not in only:
+            continue
+        t_wall = time.perf_counter()
+
+        def strict_once():
+            return auto.solve_qcqp_auto(
+                free, df_free, times, waypoints, radii,
+                warmstart_values=values, gate=1e-4, strict_gate=1e-4,
+                scenario_block=4, tier0_snap=snap0, tier2_f64=False,
+                tier1_block=t1b, ipm_config=cfg)
+
+        try:
+            res = strict_once()             # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                res = strict_once()
+            dtp = (time.perf_counter() - t0) / reps
+            violp = np.asarray(res.solution.max_violation)
+            n_strict = int(np.sum(violp < 1e-4))
+            print(f"[{name:20s}] {dtp*1e3:7.1f} ms  "
+                  f"{batch/dtp:8,.0f} solves/s  {n_strict}/{batch}<1e-4  "
+                  f"p99 {float(np.percentile(violp, 99)):.1e}  "
+                  f"esc {res.n_escalated}  "
+                  f"(wall {time.perf_counter()-t_wall:.0f}s)", flush=True)
+        except Exception as e:              # noqa: BLE001
+            print(f"[{name:20s}] FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,20 +54,26 @@ class AutoResult(NamedTuple):
     n_escalated: int
 
 
-#: Cached jitted tier functions, keyed by (structure id, configs, flags):
-#: the tier solves run outside any caller jit (the router's gate/gather is
-#: host control flow), so without this every call would dispatch the solver
+#: Cached jitted tier functions, keyed by (structure, configs, flags): the
+#: tier solves run outside any caller jit (the router's gate/gather is host
+#: control flow), so without this every call would dispatch the solver
 #: graph op-by-op -- ruinous over a remote-device tunnel.  Configs are
-#: frozen dataclasses (hashable); structure identity is the static-problem
-#: key (the same object callers thread everywhere).
+#: frozen dataclasses (hashable); ProblemStructure hashes/compares by its
+#: structural CONTENT (shapes + fixed-mask bytes, structure.py:105-116), so
+#: a recycled object id can never alias a different family to a stale
+#: compiled tier.  Bounded LRU: entries pin their closures (and the
+#: structures inside) forever otherwise.
 _TIER_CACHE: dict = {}
+_TIER_CACHE_MAX = 64
 
 
 def _cached_jit(key, builder):
-    fn = _TIER_CACHE.get(key)
+    fn = _TIER_CACHE.pop(key, None)
     if fn is None:
         fn = jax.jit(builder())
-        _TIER_CACHE[key] = fn
+        while len(_TIER_CACHE) >= _TIER_CACHE_MAX:
+            _TIER_CACHE.pop(next(iter(_TIER_CACHE)))
+    _TIER_CACHE[key] = fn          # (re)insert at the MRU end
     return fn
 
 
@@ -99,6 +105,7 @@ def solve_qcqp_auto(structure: ProblemStructure,
                     scenario_block: int = 4,
                     tier0_snap: int = 0,
                     tier2_f64: bool = True,
+                    tier1_block: Optional[int] = None,
                     interpret=None) -> AutoResult:
     """Batched tube-QCQP solve with Mosek-grade verdicts at every corridor
     width (ALL array args carry a leading batch axis).
@@ -111,6 +118,10 @@ def solve_qcqp_auto(structure: ProblemStructure,
     (violation < ``strict_gate`` after escalation, < ``gate`` from the ADMM
     gate), infeasible by the IPM's static/Farkas certificate, else
     undetermined.
+
+    ``tier1_block``: scenario blocking for the tier-1 IPM kernels (defaults
+    to ``scenario_block``) -- the escalated bucket is far smaller than the
+    full batch, so a deeper interleave can pay there.
 
     Returns an AutoResult; ``solution`` rows of escalated scenarios are the
     IPM's, everything else the ADMM's.
@@ -133,7 +144,7 @@ def solve_qcqp_auto(structure: ProblemStructure,
         ipm0 = IPMConfig(n_iters=0, snap_iters=tier0_snap, sigma_min=0.3,
                          corrector=False, pipelined=True)
         f0 = _cached_jit(
-            ("tier0snap", id(structure), admm_config, ipm0, scenario_block,
+            ("tier0snap", structure, admm_config, ipm0, scenario_block,
              interpret, has_ws),
             lambda: (lambda df, t, w, r, ws=None:
                      ipm_lanes.solve_qcqp_polished_batch(
@@ -145,7 +156,7 @@ def solve_qcqp_auto(structure: ProblemStructure,
              if has_ws else f0(d_fixed, times, waypoints, radii))
     else:
         f0 = _cached_jit(
-            ("tier0admm", id(structure), admm_config, scenario_block,
+            ("tier0admm", structure, admm_config, scenario_block,
              has_ws),
             lambda: (lambda df, t, w, r, ws=None:
                      qcqp_mod.solve_qcqp_batch(
@@ -154,6 +165,8 @@ def solve_qcqp_auto(structure: ProblemStructure,
                          scenario_block=scenario_block)))
         a = (f0(d_fixed, times, waypoints, radii, warmstart_values)
              if has_ws else f0(d_fixed, times, waypoints, radii))
+    if tier1_block is None:
+        tier1_block = scenario_block
     bsz = int(a.cost.shape[0])
     a_viol = np.asarray(a.max_violation)
     gate_ok = a_viol < gate
@@ -168,22 +181,45 @@ def solve_qcqp_auto(structure: ProblemStructure,
 
     # Fixed-shape escalation batch: pad the gathered indices to a bucketed
     # size by repeating the last failure (valid data; extra rows discarded).
-    nb = _bucket(n_esc, scenario_block)
+    nb = _bucket(n_esc, tier1_block)
     idx_pad = np.concatenate([idx, np.full(nb - n_esc, idx[-1],
                                            dtype=idx.dtype)])
-    # Tier 1 with the index gathers INSIDE the jitted program (one dispatch
-    # instead of seven eager gathers over a possibly-remote device link).
+    # Pad rows of idx_pad all point at the last failure row, and `src`
+    # re-gathers that row's solved values for them, so the duplicate
+    # scatter writes below are identical and write order cannot matter.
+    src = np.concatenate([np.arange(n_esc),
+                          np.full(nb - n_esc, n_esc - 1)]).astype(np.int32)
+    a_mask = tuple(af is not None for af in a)
+    a_fields = [jnp.asarray(af) for m, af in zip(a_mask, a) if m]
+    a_dtypes = tuple(af.dtype.name for af in a_fields)
+
+    # Tier 1 + scatter-merge in ONE jitted program: the index gathers run
+    # inside (one dispatch instead of seven eager gathers over a possibly-
+    # remote device link), and the polished bucket is scattered back into
+    # the tier-0 fields before leaving the program -- folding the merge in
+    # here saves a second dispatch round trip (~28 ms/batch 6144 measured,
+    # benchmarks/profile_strict.py).
+    def _build_tier1():
+        def run(df, t, w, r, x0_, lb, lh, ip, sr, a_list):
+            pol = ipm_lanes.solve_qcqp_ipm_lanes(
+                structure, df[ip], t[ip], w[ip], r[ip],
+                config=ipm_config, x0=x0_[ip], lam0_ball=lb[ip],
+                lam0_half=lh[ip], scenario_block=tier1_block,
+                interpret=interpret)
+            pol_sel = [pf for m, pf in zip(a_mask, pol) if m]
+            merged = [af.at[ip].set(pf[sr].astype(af.dtype))
+                      for af, pf in zip(a_list, pol_sel)]
+            return pol, merged
+        return run
+
     f1 = _cached_jit(
-        ("tier1", id(structure), ipm_config, scenario_block, interpret, nb),
-        lambda: (lambda df, t, w, r, x0_, lb, lh, ip:
-                 ipm_lanes.solve_qcqp_ipm_lanes(
-                     structure, df[ip], t[ip], w[ip], r[ip],
-                     config=ipm_config, x0=x0_[ip], lam0_ball=lb[ip],
-                     lam0_half=lh[ip], scenario_block=scenario_block,
-                     interpret=interpret)))
-    polished = f1(jnp.asarray(d_fixed), jnp.asarray(times),
-                  jnp.asarray(waypoints), jnp.asarray(radii), a.d_free,
-                  a.dual_ball, a.dual_half, jnp.asarray(idx_pad))
+        ("tier1m", structure, ipm_config, tier1_block, interpret, nb,
+         a_mask, a_dtypes),
+        _build_tier1)
+    polished, merged_fields = f1(
+        jnp.asarray(d_fixed), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(radii), a.d_free, a.dual_ball, a.dual_half,
+        jnp.asarray(idx_pad), jnp.asarray(src), a_fields)
 
     # Tier 2: rows the f32 lanes polish leaves above the strict gate without
     # an infeasibility certificate -- on tight corridors the f32 endgame
@@ -194,56 +230,53 @@ def solve_qcqp_auto(structure: ProblemStructure,
     # router verdicts match it by construction).  Requires jax_enable_x64;
     # without it the tier-1 verdict stands (conservative: UNDETERMINED rows
     # stay undetermined, never false-feasible).
-    t1_viol = np.asarray(polished.max_violation)[:n_esc]
-    t1_inf = np.asarray(polished.infeasible)[:n_esc]
+    t1_viol, t1_inf = jax.device_get((polished.max_violation,
+                                      polished.infeasible))   # ONE sync
+    t1_viol = np.asarray(t1_viol)[:n_esc].copy()
+    t1_inf = np.asarray(t1_inf)[:n_esc].copy()
     need2 = (t1_viol >= strict_gate) & ~t1_inf
     if tier2_f64 and need2.any() and jax.config.read("jax_enable_x64"):
         from .ipm import solve_qcqp_polished
         sub = np.nonzero(need2)[0]
-        gidx = idx[sub]
+        n2 = int(sub.size)
+        # Bucketed like tier 1 (a fresh jit per exact subset size would be
+        # a 5-30 min remote compile each); pad by repeating the last row --
+        # duplicate rows solve to identical values, so the duplicate
+        # scatter writes below cannot disagree.
+        nb2 = _bucket(n2, 1)
+        sub_pad = np.concatenate([sub, np.full(nb2 - n2, sub[-1],
+                                               dtype=sub.dtype)])
+        gidx = idx[sub_pad]
         f64 = jnp.float64
-        f2 = _cached_jit(
-            ("tier2", id(structure), int(gidx.size)),
-            lambda: jax.vmap(lambda d1, d2, d3, d4: solve_qcqp_polished(
-                structure, d1, d2, d3, d4,
-                ipm_config=IPMConfig(n_iters=30))))
-        pol64 = f2(
-            jnp.asarray(d_fixed, f64)[jnp.asarray(gidx)],
-            jnp.asarray(times, f64)[jnp.asarray(gidx)],
-            jnp.asarray(waypoints, f64)[jnp.asarray(gidx)],
-            jnp.asarray(radii, f64)[jnp.asarray(gidx)])
-        polished = QCQPSolution(*(
-            (tf if pf is None or tf is None else
-             jnp.asarray(tf).at[jnp.asarray(sub)].set(
-                 jnp.asarray(pf, jnp.asarray(tf).dtype)))
-            for tf, pf in zip(polished, pol64)))
-        t1_viol = np.asarray(polished.max_violation)[:n_esc]
-        t1_inf = np.asarray(polished.infeasible)[:n_esc]
+        pol64_mask_key = ("tier2", structure, nb2, a_mask, a_dtypes)
 
-    # Scatter the escalated rows back in ONE jitted program (keyed by the
-    # bucket size, not n_esc): pad entries of idx_pad all point at the last
-    # failure row, and `src` re-gathers that row's CURRENT (post-tier-2)
-    # values for them, so the duplicate writes are identical and the
-    # scatter's write order cannot matter.
-    src = np.concatenate([np.arange(n_esc),
-                          np.full(nb - n_esc, n_esc - 1)]).astype(np.int32)
-    pair_mask = tuple(af is not None and pf is not None
-                      for af, pf in zip(a, polished))
-    f_m = _cached_jit(
-        ("merge", nb, pair_mask, tuple(jnp.asarray(af).dtype.name
-                                       if m else None
-                                       for m, af in zip(pair_mask, a))),
-        lambda: (lambda ip, sr, a_list, p_list: [
-            af.at[ip].set(pf[sr].astype(af.dtype))
-            for af, pf in zip(a_list, p_list)]))
-    merged_fields = f_m(jnp.asarray(idx_pad), jnp.asarray(src),
-                        [jnp.asarray(af) for m, af in zip(pair_mask, a)
-                         if m],
-                        [jnp.asarray(pf) for m, pf in zip(pair_mask,
-                                                          polished) if m])
+        def _build_tier2():
+            def run(d1, d2, d3, d4, gi, m_list):
+                pol64 = jax.vmap(lambda a1, a2, a3, a4: solve_qcqp_polished(
+                    structure, a1, a2, a3, a4,
+                    ipm_config=IPMConfig(n_iters=30)))(d1, d2, d3, d4)
+                p_sel = [pf for m, pf in zip(a_mask, pol64) if m]
+                merged2 = [(mf if pf is None else
+                            mf.at[gi].set(pf.astype(mf.dtype)))
+                           for mf, pf in zip(m_list, p_sel)]
+                return pol64.max_violation, pol64.infeasible, merged2
+            return run
+
+        f2 = _cached_jit(pol64_mask_key, _build_tier2)
+        gidx_dev = jnp.asarray(gidx)
+        v64, i64, merged_fields = f2(
+            jnp.asarray(d_fixed, f64)[gidx_dev],
+            jnp.asarray(times, f64)[gidx_dev],
+            jnp.asarray(waypoints, f64)[gidx_dev],
+            jnp.asarray(radii, f64)[gidx_dev],
+            gidx_dev, merged_fields)
+        v64, i64 = jax.device_get((v64, i64))                  # ONE sync
+        t1_viol[sub] = np.asarray(v64)[:n2]
+        t1_inf[sub] = np.asarray(i64)[:n2]
+
     it = iter(merged_fields)
     merged = QCQPSolution(*(next(it) if m else af
-                            for m, af in zip(pair_mask, a)))
+                            for m, af in zip(a_mask, a)))
 
     v_esc = np.where(t1_viol < strict_gate, FEASIBLE,
                      np.where(t1_inf, INFEASIBLE, UNDETERMINED)).astype(
@@ -260,7 +293,9 @@ def solve_qcqp_strict(structure: ProblemStructure,
                       radii: jnp.ndarray,
                       warmstart_values: Optional[jnp.ndarray] = None,
                       scenario_block: int = 4,
-                      tier2_f64: bool = False,
+                      tier2_f64: bool = True,
+                      tier1_block: Optional[int] = None,
+                      ipm_config: Optional[IPMConfig] = None,
                       interpret=None) -> AutoResult:
     """Mosek-grade strict-feasibility solve at router throughput.
 
@@ -276,4 +311,146 @@ def solve_qcqp_strict(structure: ProblemStructure,
                            gate=1e-4, strict_gate=1e-4,
                            scenario_block=scenario_block,
                            tier0_snap=3, tier2_f64=tier2_f64,
+                           tier1_block=tier1_block, ipm_config=ipm_config,
                            interpret=interpret)
+
+def solve_qcqp_strict_sharded(structure: ProblemStructure,
+                              d_fixed: jnp.ndarray,
+                              times: jnp.ndarray,
+                              waypoints: jnp.ndarray,
+                              radii: jnp.ndarray,
+                              *,
+                              mesh,
+                              warmstart_values: Optional[jnp.ndarray] = None,
+                              admm_config: Optional[ADMMConfig] = None,
+                              ipm_config: Optional[IPMConfig] = None,
+                              gate: float = 1e-4,
+                              strict_gate: float = 1e-4,
+                              tier0_snap: int = 3,
+                              scenario_block: int = 4,
+                              tier1_block: Optional[int] = None,
+                              axis_name: Optional[str] = None,
+                              interpret=None):
+    """The strict verdict router under a device mesh (round-3 VERDICT
+    missing #3: the production strict entry was single-process only).
+
+    Execution shape -- the one a multi-host deployment wants:
+
+      * tier 0 (ADMM + snap sweeps) runs scenario-parallel via
+        ``shard_map``: each device solves its local shard with the Pallas
+        kernels, no cross-scenario communication;
+      * the gate mask is pulled ONCE to the host (single-controller: the
+        global array is fully addressable; on multihost each process runs
+        this router on its local shard -- see docs/MULTIHOST.md);
+      * tier 1 + scatter-merge run in ONE jitted program: the bucket
+        gather/scatter cross shards via XLA collectives, the IPM solve is
+        shard_mapped over the same mesh, and the strict-feasibility count
+        is reduced ON-DEVICE -- the returned ``n_strict`` scalar is the
+        psum'd verdict count, replicated on every device.
+
+    Returns (AutoResult, n_strict_device) where n_strict_device counts
+    ``max_violation < strict_gate`` over the FULL merged batch on-device.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    from ..parallel import mesh as pmesh
+    axis = axis_name or pmesh.DATA_AXIS
+    p_sh = PartitionSpec(axis)
+    shard_sp = NamedSharding(mesh, p_sh)
+    ndev = int(mesh.devices.size)
+    if admm_config is None:
+        admm_config = ADMMConfig(rho=0.005, n_stages=1, n_iters=48,
+                                 rho_tube_factor=0.125,
+                                 rho_half_factor=0.125, use_pallas=True)
+    if ipm_config is None:
+        ipm_config = IPMConfig(n_iters=10, sigma_min=0.3, corrector=False)
+    if tier1_block is None:
+        tier1_block = scenario_block
+
+    has_ws = warmstart_values is not None
+    n_in = 5 if has_ws else 4
+    ipm0 = IPMConfig(n_iters=0, snap_iters=tier0_snap, sigma_min=0.3,
+                     corrector=False, pipelined=True)
+
+    def _build_tier0():
+        def t0_local(df, t, w, r, ws=None):
+            return ipm_lanes.solve_qcqp_polished_batch(
+                structure, df, t, w, r, admm_config=admm_config,
+                ipm_config=ipm0, warmstart_values=ws,
+                scenario_block=scenario_block, interpret=interpret)
+        return jax.shard_map(t0_local, mesh=mesh,
+                             in_specs=(p_sh,) * n_in, out_specs=p_sh,
+                             check_vma=False)
+
+    f0 = _cached_jit(("tier0sh", structure, mesh, admm_config, ipm0,
+                      scenario_block, interpret, has_ws), _build_tier0)
+    a = (f0(d_fixed, times, waypoints, radii, warmstart_values)
+         if has_ws else f0(d_fixed, times, waypoints, radii))
+
+    a_viol = np.asarray(jax.device_get(a.max_violation))
+    gate_ok = a_viol < gate
+    verdict = np.where(gate_ok, FEASIBLE, UNDETERMINED).astype(np.int8)
+    escalated = ~gate_ok
+    idx = np.nonzero(escalated)[0]
+    n_esc = int(idx.size)
+    if n_esc == 0:
+        mv = a.max_violation
+        n_strict = jnp.sum((mv < strict_gate).astype(jnp.float32))
+        return (AutoResult(solution=a, verdict=verdict,
+                           escalated=escalated, n_escalated=0), n_strict)
+
+    # Bucket to a multiple of (tier1_block * n_devices) so the shard_mapped
+    # bucket divides the mesh evenly.
+    quantum = tier1_block * ndev
+    nb = max(_bucket(n_esc, tier1_block), quantum)
+    nb = ((nb + quantum - 1) // quantum) * quantum
+    idx_pad = np.concatenate([idx, np.full(nb - n_esc, idx[-1],
+                                           dtype=idx.dtype)])
+    src = np.concatenate([np.arange(n_esc),
+                          np.full(nb - n_esc, n_esc - 1)]).astype(np.int32)
+    a_mask = tuple(af is not None for af in a)
+    a_fields = [jnp.asarray(af) for m, af in zip(a_mask, a) if m]
+    a_dtypes = tuple(af.dtype.name for af in a_fields)
+    sel_fields = [i for i, m in enumerate(a_mask) if m]
+    mv_pos = sel_fields.index(QCQPSolution._fields.index("max_violation"))
+
+    def _build_tier1():
+        def t1_local(df, t, w, r, x0_, lb, lh):
+            return ipm_lanes.solve_qcqp_ipm_lanes(
+                structure, df, t, w, r, config=ipm_config, x0=x0_,
+                lam0_ball=lb, lam0_half=lh, scenario_block=tier1_block,
+                interpret=interpret)
+        t1_sm = jax.shard_map(t1_local, mesh=mesh, in_specs=(p_sh,) * 7,
+                              out_specs=p_sh, check_vma=False)
+
+        def run(df, t, w, r, x0_, lb, lh, ip, sr, a_list):
+            con = lambda v: jax.lax.with_sharding_constraint(v, shard_sp)
+            pol = t1_sm(con(df[ip]), con(t[ip]), con(w[ip]), con(r[ip]),
+                        con(x0_[ip]), con(lb[ip]), con(lh[ip]))
+            pol_sel = [pf for m, pf in zip(a_mask, pol) if m]
+            merged = [af.at[ip].set(pf[sr].astype(af.dtype))
+                      for af, pf in zip(a_list, pol_sel)]
+            n_strict = jnp.sum(
+                (merged[mv_pos] < strict_gate).astype(jnp.float32))
+            return pol, merged, n_strict
+        return run
+
+    f1 = _cached_jit(("tier1sh", structure, mesh, ipm_config, tier1_block,
+                      interpret, nb, a_mask, a_dtypes), _build_tier1)
+    polished, merged_fields, n_strict = f1(
+        jnp.asarray(d_fixed), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(radii), a.d_free, a.dual_ball, a.dual_half,
+        jnp.asarray(idx_pad), jnp.asarray(src), a_fields)
+
+    t1_viol, t1_inf = jax.device_get((polished.max_violation,
+                                      polished.infeasible))
+    t1_viol = np.asarray(t1_viol)[:n_esc]
+    t1_inf = np.asarray(t1_inf)[:n_esc]
+    it = iter(merged_fields)
+    merged = QCQPSolution(*(next(it) if m else af
+                            for m, af in zip(a_mask, a)))
+    v_esc = np.where(t1_viol < strict_gate, FEASIBLE,
+                     np.where(t1_inf, INFEASIBLE, UNDETERMINED)).astype(
+        np.int8)
+    verdict[idx] = v_esc
+    return (AutoResult(solution=merged, verdict=verdict,
+                       escalated=escalated, n_escalated=n_esc), n_strict)

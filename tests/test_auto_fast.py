@@ -1,0 +1,134 @@
+"""Fast-tier smoke coverage for the verdict router (solver/auto) -- the
+flagship strict entry point must have signal in the DEFAULT test tier
+(round-3 VERDICT weak #3: all of test_auto.py is slow-tier).
+
+Small shapes (K=4, batch 8, XLA ADMM + interpret lanes with low iteration
+counts) keep this in the seconds class while still driving the full router
+pipeline: tier-0 gate, host gather/bucket, tier-1 escalation, the jitted
+scatter-merge, and all three verdict codes.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mav_tube_trajectory_generation_tpu.solver import auto, linear, qcqp
+from mav_tube_trajectory_generation_tpu.solver.ipm import IPMConfig
+from mav_tube_trajectory_generation_tpu.solver.structure import (
+    free_interior_mask, make_structure)
+from mav_tube_trajectory_generation_tpu.models.vertex import (
+    segment_times_nfabian)
+
+K, N, D = 4, 10, 3
+
+
+@pytest.fixture(scope="module")
+def small_batch():
+    """8 scenarios: generous corridors (gate-pass), tight ones (escalate),
+    one structurally infeasible (escalate + certificate)."""
+    rng = np.random.RandomState(11)
+    b = 8
+    waypoints = np.cumsum(rng.uniform(0.5, 2.0, size=(b, K + 1, 3)),
+                          axis=1).astype(np.float32)
+    free = make_structure(free_interior_mask(K + 1, N), D, N)
+    values = np.zeros((b, K + 1, 5, 3), dtype=np.float32)
+    values[:, :, 0, :] = waypoints
+    times = np.asarray(segment_times_nfabian(waypoints, 3.0, 5.0),
+                       dtype=np.float32)
+    radii = np.full((b, K, 2), 0.8, dtype=np.float32)
+    radii[2:4] = 0.1                       # tight: the 24-iter gate misses
+    df = np.array(linear.extract_fixed_values(free, jnp.asarray(values)),
+                  dtype=np.float32)
+    df[7, 0, :] += 5.0                     # start 5 units off the corridor
+    radii[7] = 0.05
+    return free, df, times, waypoints, radii, values
+
+
+#: Light configs: enough ADMM for the generous rows to pass the 1e-2 gate,
+#: few enough iterations that the tight rows escalate; XLA (use_pallas
+#: =False) ADMM keeps the CPU path out of interpret-mode Pallas.
+_ADMM = qcqp.ADMMConfig(rho=0.005, n_stages=1, n_iters=24,
+                        rho_tube_factor=0.125, rho_half_factor=0.125,
+                        use_pallas=False)
+_IPM = IPMConfig(n_iters=8, snap_iters=2, sigma_min=0.3, corrector=False)
+
+
+def test_router_smoke_all_verdict_codes(small_batch):
+    free, df, times, waypoints, radii, values = small_batch
+    res = auto.solve_qcqp_auto(
+        free, jnp.asarray(df), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(radii), admm_config=_ADMM, ipm_config=_IPM,
+        warmstart_values=jnp.asarray(values), tier2_f64=False)
+    # Gate-pass rows: feasible without escalation.
+    assert not res.escalated[:2].any() and not res.escalated[4:7].any()
+    assert (res.verdict[[0, 1, 4, 5, 6]] == auto.FEASIBLE).all()
+    # Tight rows escalate; the IPM pulls them under the strict gate
+    # (FEASIBLE) or leaves them UNDETERMINED -- never INFEASIBLE (no
+    # certificate exists for a nonempty corridor).
+    assert res.escalated[2:4].all()
+    assert (res.verdict[2:4] != auto.INFEASIBLE).all(), res.verdict
+    # The structurally infeasible row is certified.
+    assert res.escalated[7]
+    assert res.verdict[7] == auto.INFEASIBLE, res.verdict
+    assert res.n_escalated == int(res.escalated.sum())
+    # Verdict/violation consistency: FEASIBLE-by-exhibition escalated rows
+    # actually exhibit < strict_gate violation.
+    v = np.asarray(res.solution.max_violation)
+    esc_feas = res.escalated & (res.verdict == auto.FEASIBLE)
+    assert (v[esc_feas] < 1e-4).all()
+
+
+def test_router_merge_consistency(small_batch):
+    """Non-escalated rows carry the tier-0 solution (same-quality, not
+    bitwise -- jit fusion boundaries differ); escalated rows differ from
+    the tier-0 result (they were re-solved)."""
+    free, df, times, waypoints, radii, values = small_batch
+    a = qcqp.solve_qcqp_batch(free, jnp.asarray(df), jnp.asarray(times),
+                              jnp.asarray(waypoints), jnp.asarray(radii),
+                              config=_ADMM,
+                              warmstart_values=jnp.asarray(values),
+                              scenario_block=4)
+    res = auto.solve_qcqp_auto(
+        free, jnp.asarray(df), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(radii), admm_config=_ADMM, ipm_config=_IPM,
+        warmstart_values=jnp.asarray(values), tier2_f64=False)
+    keep = ~res.escalated
+    np.testing.assert_allclose(np.asarray(res.solution.cost)[keep],
+                               np.asarray(a.cost)[keep], rtol=2e-2)
+    assert (np.asarray(res.solution.max_violation)[keep] < 1e-2).all()
+
+
+def test_router_no_escalation_fastpath(small_batch):
+    """A uniformly generous batch returns the tier-0 result untouched."""
+    free, _, times, waypoints, radii, values = small_batch
+    df = np.array(linear.extract_fixed_values(free, jnp.asarray(values)),
+                  dtype=np.float32)
+    wide = np.full_like(radii, 0.8)
+    res = auto.solve_qcqp_auto(
+        free, jnp.asarray(df), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(wide), admm_config=_ADMM, ipm_config=_IPM,
+        warmstart_values=jnp.asarray(values), tier2_f64=False)
+    assert res.n_escalated == 0
+    assert (res.verdict == auto.FEASIBLE).all()
+
+
+def test_tier_cache_structural_keying():
+    """_cached_jit keys on structural content, not object identity: an
+    equal-content rebuild hits the cache; the LRU stays bounded."""
+    auto._TIER_CACHE.clear()
+    s1 = make_structure(free_interior_mask(K + 1, N), D, N)
+    s2 = make_structure(free_interior_mask(K + 1, N), D, N)
+    assert s1 is not s2 and s1 == s2 and hash(s1) == hash(s2)
+    calls = []
+    f1 = auto._cached_jit(("t", s1), lambda: calls.append(1) or (lambda: 0))
+    f2 = auto._cached_jit(("t", s2), lambda: calls.append(1) or (lambda: 0))
+    assert f1 is f2 and len(calls) == 1
+    # A different family is a different key.
+    s3 = make_structure(free_interior_mask(K + 2, N), D, N)
+    auto._cached_jit(("t", s3), lambda: calls.append(1) or (lambda: 0))
+    assert len(calls) == 2
+    # LRU bound holds.
+    for i in range(auto._TIER_CACHE_MAX + 8):
+        auto._cached_jit(("fill", i), lambda: (lambda: 0))
+    assert len(auto._TIER_CACHE) <= auto._TIER_CACHE_MAX
+    auto._TIER_CACHE.clear()
