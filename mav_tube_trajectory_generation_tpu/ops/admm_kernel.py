@@ -232,6 +232,80 @@ def _kernel_fused_factored(rho_ref, sinv_ref, t_ref, tt_ref, gt_ref, b_ref,
                 init_z=init_z)
 
 
+def _kernel_gram_band(gt_ref, gd_out, gu_out, *, blk: int, per_block: bool):
+    """Block-tridiagonal BAND of the Gram G^T G, computed in VMEM.
+
+    The XLA formulation materializes the full (S, nfd, nfd) Gram in HBM
+    (fusion ~8.7 ms/batch 6144), relayouts it for the band slicing
+    (~2.1 ms), and separately relayouts gt into the ADMM kernel's standard
+    layout (~5.2 ms) because the Gram matmul prefers a different gt layout.
+    Here BOTH consumers of gt are Pallas kernels (standard layout), so gt
+    is materialized once, and only the band (17/81 of the blocks) ever
+    touches HBM.
+
+    per_block: compute each band block as its own (blk, m_p) x (blk, m_p)
+    lane-contraction (no unaligned slicing) instead of slicing the full
+    in-VMEM Gram -- two Mosaic codegen strategies, measured against each
+    other on hardware.
+    """
+    gt = gt_ref[:]                        # (S, nfd, m_p)
+    s, nfd, _ = gt.shape
+    m_blk = nfd // blk
+    if per_block:
+        rows = [gt[:, i * blk:(i + 1) * blk, :] for i in range(m_blk)]
+        for i in range(m_blk):
+            gd_out[:, i, :, :] = _gram_pair(rows[i], rows[i])
+        for i in range(m_blk - 1):
+            gu_out[:, i, :, :] = _gram_pair(rows[i], rows[i + 1])
+    else:
+        g = _gram_pair(gt, gt)            # (S, nfd, nfd) in VMEM
+        for i in range(m_blk):
+            gd_out[:, i, :, :] = g[:, i * blk:(i + 1) * blk,
+                                   i * blk:(i + 1) * blk]
+        for i in range(m_blk - 1):
+            gu_out[:, i, :, :] = g[:, i * blk:(i + 1) * blk,
+                                   (i + 1) * blk:(i + 2) * blk]
+
+
+def _gram_pair(a, b):
+    """Per-scenario (S, n, L) x (S, m, L) -> (S, n, m) contracting lanes
+    (a @ b^T without an explicit transpose), full-f32 MXU passes."""
+    return jnp.stack([
+        jax.lax.dot_general(
+            a[i], b[i], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        for i in range(a.shape[0])], axis=0)
+
+
+def gram_band(gt, *, blk: int, per_block: bool = False, interpret=None):
+    """(S, nfd, m_p) G^T -> block-tridiagonal Gram band
+    (gd (S, m, blk, blk) diagonal blocks, gu (S, m-1, blk, blk) super-
+    diagonal blocks) with gt consumed in the kernel-standard layout."""
+    return _gram_band_jit(gt, blk=blk, per_block=per_block,
+                          interpret=_resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "per_block",
+                                             "interpret"))
+def _gram_band_jit(gt, *, blk: int, per_block: bool, interpret: bool):
+    s, nfd, m_p = gt.shape
+    m_blk = nfd // blk
+    kernel = functools.partial(_kernel_gram_band, blk=blk,
+                               per_block=per_block)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, m_blk, blk, blk), jnp.float32),
+            jax.ShapeDtypeStruct((s, m_blk - 1, blk, blk), jnp.float32),
+        ),
+        in_specs=[vmem],
+        out_specs=(vmem,) * 2,
+        interpret=interpret,
+    )(gt)
+
+
 def _resolve_interpret(interpret):
     """None = auto (interpret on CPU, compiled on TPU); explicit True/False
     is honored as given.  Resolved OUTSIDE the jitted wrappers so the choice

@@ -87,8 +87,19 @@ class ADMMConfig:
     # copies + xq matvec profiled ~19 ms/batch 6144, the largest non-kernel
     # cost); "inverse" materializes the dense inverse (pre-2025-08 path).
     kkt_apply: str = "factored"
+    # Where the block-tridiagonal Gram band (the only part of G^T G the
+    # banded KKT path reads) is computed: "xla" materializes the full dense
+    # Gram then slices its band; "pallas" / "pallas_block" compute ONLY the
+    # band in a VMEM kernel (ops/admm_kernel.gram_band) so gt has a single
+    # (kernel-standard) layout for all consumers -- the full Gram's HBM
+    # round trip and the two relayout copies (~7 ms/batch 6144) disappear.
+    band_gram: str = "xla"
 
     def __post_init__(self):
+        if self.band_gram not in ("xla", "pallas", "pallas_block"):
+            raise ValueError(
+                f"band_gram must be 'xla', 'pallas' or 'pallas_block', "
+                f"got {self.band_gram!r}")
         if self.kkt_apply not in ("factored", "inverse"):
             raise ValueError(
                 f"kkt_apply must be 'factored' or 'inverse', got "
@@ -567,23 +578,27 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
         axis=-1)[:, None, :]                              # (S, 1, nb_p)
 
     gt = gt.astype(f32)
-    if gtg is None:
-        # The FULL dense Gram, even though the structured inverse below only
-        # reads its band.  (Rejected alternatives, both slower: a dedicated
-        # Pallas Gram kernel -- 143.7 -> 166.7 ms, the kernel boundary
-        # forces standard-layout copies of gt on both sides; band-only Gram
-        # via two (S, m, blk, m_p) einsums + direct band KKT assembly --
-        # 126.6 -> 139.0 ms, the tiny (15, 512)@(512, 15) batched
-        # contractions are MXU-latency-bound and their layouts cascade
-        # copies, the same failure mode as the compact-family-factors
-        # experiment in _padded_constraint_system.)
-        gtg = gt @ jnp.swapaxes(gt, -1, -2)               # (S, nfd, nfd)
-    gtg = gtg.astype(f32)
     x = x_flat0.astype(f32)[:, :, None]                   # (S, nfd, 1)
     z = u = None   # stage 0 initializes z/u from x inside the kernel
 
     banded_kkt = kkt_block is not None and config.kkt_inverse == "schur" \
         and p_eq is not None
+    # On the banded path only the BAND of the Gram is ever read; the
+    # "pallas" modes compute it in a VMEM kernel (ops/admm_kernel.gram_band)
+    # and never materialize the full Gram.  Otherwise: the FULL dense Gram,
+    # via XLA.  (Rejected alternatives, both slower AT THE TIME -- the
+    # dataflow has changed since (gt now feeds Pallas kernels in standard
+    # layout): a dedicated full-Gram Pallas kernel -- 143.7 -> 166.7 ms,
+    # kernel-boundary standard-layout copies of gt on both sides; band-only
+    # Gram via two (S, m, blk, m_p) XLA einsums + direct band KKT assembly
+    # -- 126.6 -> 139.0 ms, tiny (15, 512)@(512, 15) batched contractions
+    # are MXU-latency-bound and their layouts cascade copies.)
+    pallas_band = (banded_kkt and gtg is None
+                   and config.band_gram != "xla")
+    if gtg is None and not pallas_band:
+        gtg = gt @ jnp.swapaxes(gt, -1, -2)               # (S, nfd, nfd)
+    if gtg is not None:
+        gtg = gtg.astype(f32)
     if banded_kkt:
         # Structured fast path: the KKT kron(R_pp, I3) + rho G^T G + sigma I
         # is EXACTLY block-tridiagonal in vertex blocks (_kkt_tridiag_block);
@@ -607,10 +622,16 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
         kron = lambda a: jnp.einsum('smab,cd->smacbd', a, eye_d).reshape(
             s, a.shape[1], blk, blk)
         pb_d, pb_u = kron(pe_d), kron(pe_u)
-        g5 = gtg.reshape(s, m_blk, blk, m_blk, blk)
-        gd = jnp.stack([g5[:, i, :, i, :] for i in range(m_blk)], axis=1)
-        gu = jnp.stack([g5[:, i, :, i + 1, :] for i in range(m_blk - 1)],
-                       axis=1)
+        if pallas_band:
+            gd, gu = admm_kernel.gram_band(
+                gt, blk=blk,
+                per_block=(config.band_gram == "pallas_block"))
+        else:
+            g5 = gtg.reshape(s, m_blk, blk, m_blk, blk)
+            gd = jnp.stack([g5[:, i, :, i, :] for i in range(m_blk)],
+                           axis=1)
+            gu = jnp.stack([g5[:, i, :, i + 1, :]
+                            for i in range(m_blk - 1)], axis=1)
         eye_b = jnp.eye(blk, dtype=f32)
     else:
         spd_inv = (linalg.spd_inverse_schur if config.kkt_inverse == "schur"

@@ -298,3 +298,60 @@ print("RESULT " + json.dumps(out), flush=True)
         float(ref.total_cost), rel=1e-12)
     assert results[0]["max_cost"] == pytest.approx(
         float(ref.max_cost), rel=1e-12)
+
+
+@pytest.mark.slow
+def test_strict_router_sharded_matches_single():
+    """solve_qcqp_strict_sharded: the mesh version must agree with the
+    single-device router on verdicts and the psum'd strict count must
+    equal the host-side count of the merged batch."""
+    from mav_tube_trajectory_generation_tpu.solver import auto, linear, qcqp
+    from mav_tube_trajectory_generation_tpu.solver.ipm import IPMConfig
+    from mav_tube_trajectory_generation_tpu.models.vertex import (
+        segment_times_nfabian)
+
+    K, N = 4, 10
+    rng = np.random.RandomState(7)
+    b = 16
+    wp = np.cumsum(rng.uniform(0.5, 2.0, size=(b, K + 1, 3)),
+                   axis=1).astype(np.float32)
+    free = sm.make_structure(sm.free_interior_mask(K + 1, N), 3, N)
+    vals = np.zeros((b, K + 1, 5, 3), np.float32)
+    vals[:, :, 0, :] = wp
+    tms = np.asarray(segment_times_nfabian(wp, 3.0, 5.0), np.float32)
+    radii = np.full((b, K, 2), 0.8, np.float32)
+    radii[4:8] = 0.1                   # tight: escalate on these rows
+    df = np.array(linear.extract_fixed_values(free, jnp.asarray(vals)),
+                  np.float32)
+
+    mesh = pmesh.make_mesh()
+    admm = qcqp.ADMMConfig(rho=0.005, n_stages=1, n_iters=24,
+                           rho_tube_factor=0.125, rho_half_factor=0.125,
+                           use_pallas=True)
+    ipm1 = IPMConfig(n_iters=6, sigma_min=0.3, corrector=False)
+    res, n_strict = auto.solve_qcqp_strict_sharded(
+        free, jnp.asarray(df), jnp.asarray(tms), jnp.asarray(wp),
+        jnp.asarray(radii), mesh=mesh,
+        warmstart_values=jnp.asarray(vals), admm_config=admm,
+        ipm_config=ipm1, scenario_block=2, tier1_block=1)
+    v = np.asarray(res.solution.max_violation)
+    # psum'd on-device count == host count over the merged batch
+    assert float(n_strict) == float(np.sum(v < 1e-4))
+    # tight rows escalated; generous rows feasible without escalation
+    assert res.escalated[4:8].all()
+    assert (res.verdict[:4] == auto.FEASIBLE).all()
+    assert (res.verdict[8:] == auto.FEASIBLE).all()
+    assert not res.escalated[:4].any() and not res.escalated[8:].any()
+    # never false-feasible: every FEASIBLE verdict exhibits a point
+    assert (v[res.verdict == auto.FEASIBLE] < 1e-4).all()
+
+    # Single-device router on the same inputs: verdict parity on the
+    # non-escalated rows (escalated rows may differ only in how far the
+    # 6-iter IPM got; both remain conservative).
+    res1 = auto.solve_qcqp_auto(
+        free, jnp.asarray(df), jnp.asarray(tms), jnp.asarray(wp),
+        jnp.asarray(radii), admm_config=admm, ipm_config=ipm1,
+        warmstart_values=jnp.asarray(vals), gate=1e-4, strict_gate=1e-4,
+        scenario_block=2, tier0_snap=3, tier2_f64=False, tier1_block=1)
+    keep = ~res.escalated
+    assert (res.verdict[keep] == res1.verdict[keep]).all()
