@@ -118,7 +118,8 @@ def main():
     rows = []
     scales = []
     forced = []
-    t_solve = 0.0
+    inputs = []     # per-chunk (df_free, times, waypoints, radii) for the
+    t_solve = 0.0   # adaptive ground-truth escalation below
     for c0 in range(0, total, chunk):
         seed = c0 // chunk
         (_, _, _, df_free, times, waypoints, _, values) = bench.make_inputs(
@@ -154,6 +155,7 @@ def main():
         rows.append([np.asarray(o) for o in out])
         scales.append(scale[:, 0, 0])
         forced.append(is_forced)
+        inputs.append((df_free, np.asarray(times), waypoints, radii))
         print(f"[parity] chunk {seed}: {chunk} scenarios "
               f"({t_solve:.1f}s cumulative)", flush=True)
 
@@ -165,6 +167,43 @@ def main():
     ipm_feas = p_viol < 1e-4            # feasibility by exhibition
     ipm_infeas = p_inf & ~ipm_feas      # Farkas-style certificate
     undetermined = ~ipm_feas & ~ipm_infeas
+    n_und_30 = int(np.sum(undetermined))
+
+    # Adaptive ground-truth escalation (round-4 VERDICT task #3): the
+    # 30-iter recipe leaves near-degenerate corridors undetermined where
+    # Mosek would return a definitive status; re-solve exactly those rows
+    # with a 4x iteration budget and take whichever verdict appears.
+    und_idx = np.nonzero(undetermined)[0]
+    if und_idx.size:
+        all_df = np.concatenate([i[0] for i in inputs])
+        all_t = np.concatenate([i[1] for i in inputs])
+        all_w = np.concatenate([i[2] for i in inputs])
+        all_r = np.concatenate([i[3] for i in inputs])
+        long_cfg = ipm.IPMConfig(n_iters=4 * n_ipm)
+        gt_long = jax.jit(jax.vmap(lambda d1, d2, d3, d4:
+                                   ipm.solve_qcqp_polished(
+                                       free, d1, d2, d3, d4,
+                                       admm_config=admm_cfg,
+                                       ipm_config=long_cfg)))
+        nb = 1
+        while nb < und_idx.size:
+            nb *= 2
+        pad = np.concatenate([und_idx, np.full(nb - und_idx.size,
+                                               und_idx[-1])])
+        pl = gt_long(jnp.asarray(all_df[pad]), jnp.asarray(all_t[pad]),
+                     jnp.asarray(all_w[pad]), jnp.asarray(all_r[pad]))
+        lv = np.asarray(pl.max_violation)[:und_idx.size]
+        li = np.asarray(pl.infeasible)[:und_idx.size]
+        p_viol[und_idx] = np.minimum(p_viol[und_idx], lv)
+        p_inf[und_idx] = p_inf[und_idx] | li
+        p_cost[und_idx] = np.where(lv < 1e-4, np.asarray(pl.cost)[
+            :und_idx.size], p_cost[und_idx])
+        ipm_feas = p_viol < 1e-4
+        ipm_infeas = p_inf & ~ipm_feas
+        undetermined = ~ipm_feas & ~ipm_infeas
+        print(f"[parity] ground-truth escalation: {n_und_30} undetermined "
+              f"at {n_ipm} iters -> {int(np.sum(undetermined))} at "
+              f"{4 * n_ipm}", flush=True)
     det = ~undetermined
 
     report = {
@@ -175,6 +214,7 @@ def main():
         "n_ipm_feasible": int(np.sum(ipm_feas)),
         "n_ipm_infeasible": int(np.sum(ipm_infeas)),
         "n_undetermined": int(np.sum(undetermined)),
+        "n_undetermined_pre_escalation": n_und_30,
         # Certificate recall on the structurally infeasible slice.
         "certificate_recall": round(float(
             np.mean(ipm_infeas[forced_all])), 4) if np.any(forced_all)

@@ -106,6 +106,7 @@ def solve_qcqp_auto(structure: ProblemStructure,
                     tier0_snap: int = 0,
                     tier2_f64: bool = True,
                     tier1_block: Optional[int] = None,
+                    tier0_config: Optional[IPMConfig] = None,
                     interpret=None) -> AutoResult:
     """Batched tube-QCQP solve with Mosek-grade verdicts at every corridor
     width (ALL array args carry a leading batch axis).
@@ -141,8 +142,9 @@ def solve_qcqp_auto(structure: ProblemStructure,
         # violations under the strict gate for the bulk of the batch at a
         # fraction of the full polish's cost; the IPM escalation below
         # handles the rest.
-        ipm0 = IPMConfig(n_iters=0, snap_iters=tier0_snap, sigma_min=0.3,
-                         corrector=False, pipelined=True)
+        ipm0 = tier0_config if tier0_config is not None else IPMConfig(
+            n_iters=0, snap_iters=tier0_snap, sigma_min=0.3,
+            corrector=False, pipelined=True)
         f0 = _cached_jit(
             ("tier0snap", structure, admm_config, ipm0, scenario_block,
              interpret, has_ws),
@@ -221,58 +223,75 @@ def solve_qcqp_auto(structure: ProblemStructure,
         jnp.asarray(radii), a.d_free, a.dual_ball, a.dual_half,
         jnp.asarray(idx_pad), jnp.asarray(src), a_fields)
 
-    # Tier 2: rows the f32 lanes polish leaves above the strict gate without
-    # an infeasibility certificate -- on tight corridors the f32 endgame
-    # stalls where an f64 interior point converges (measured: f64
+    # Tier 2: every row the f32 lanes polish leaves above the strict gate --
+    # INCLUDING rows it certified infeasible.  On tight corridors the f32
+    # endgame stalls where an f64 interior point converges (measured: f64
     # ADMM-warm-started rows IPM reaches <1e-4 on every r=0.12 fixture the
-    # f32 path leaves at ~1e-2).  Re-solve just those in f64
-    # (ipm.solve_qcqp_polished, the parity study's ground-truth recipe, so
-    # router verdicts match it by construction).  Requires jax_enable_x64;
-    # without it the tier-1 verdict stands (conservative: UNDETERMINED rows
-    # stay undetermined, never false-feasible).
+    # f32 path leaves at ~1e-2), and the f32 dynamic (lam-growth) Farkas
+    # certificate can FALSE-FIRE in the same regime (the round-3 parity
+    # study's 51 conservative misses at r<0.1 were exactly these).  The
+    # f64 rows IPM (ipm.solve_qcqp_polished, the parity study's
+    # ground-truth recipe) issues the final verdict for all of them --
+    # Mosek's everything-in-doubles semantics (qcqp_impl.h:709-788).
+    # Requires jax_enable_x64; without it the tier-1 verdict stands
+    # (conservative: never false-feasible).
     t1_viol, t1_inf = jax.device_get((polished.max_violation,
                                       polished.infeasible))   # ONE sync
     t1_viol = np.asarray(t1_viol)[:n_esc].copy()
     t1_inf = np.asarray(t1_inf)[:n_esc].copy()
-    need2 = (t1_viol >= strict_gate) & ~t1_inf
-    if tier2_f64 and need2.any() and jax.config.read("jax_enable_x64"):
+    # Two-stage like the parity study's escalated ground truth: 30 f64
+    # iterations resolve the bulk; rows still undetermined after that get
+    # a 4x budget (near-degenerate corridors where the 30-iter recipe
+    # stalls -- the study measured 18/128 such rows at tight radii all
+    # resolving at 120).  A row certified infeasible by the f64 pass is
+    # final (stage 2 skips it).
+    if tier2_f64 and jax.config.read("jax_enable_x64"):
         from .ipm import solve_qcqp_polished
-        sub = np.nonzero(need2)[0]
-        n2 = int(sub.size)
-        # Bucketed like tier 1 (a fresh jit per exact subset size would be
-        # a 5-30 min remote compile each); pad by repeating the last row --
-        # duplicate rows solve to identical values, so the duplicate
-        # scatter writes below cannot disagree.
-        nb2 = _bucket(n2, 1)
-        sub_pad = np.concatenate([sub, np.full(nb2 - n2, sub[-1],
-                                               dtype=sub.dtype)])
-        gidx = idx[sub_pad]
-        f64 = jnp.float64
-        pol64_mask_key = ("tier2", structure, nb2, a_mask, a_dtypes)
+        f64_certified = np.zeros_like(t1_inf)
+        for t2_iters in (30, 120):
+            need2 = (t1_viol >= strict_gate) & ~f64_certified
+            if not need2.any():
+                break
+            sub = np.nonzero(need2)[0]
+            n2 = int(sub.size)
+            # Bucketed like tier 1 (a fresh jit per exact subset size
+            # would be a 5-30 min remote compile each); pad by repeating
+            # the last row -- duplicate rows solve to identical values,
+            # so the duplicate scatter writes below cannot disagree.
+            nb2 = _bucket(n2, 1)
+            sub_pad = np.concatenate([sub, np.full(nb2 - n2, sub[-1],
+                                                   dtype=sub.dtype)])
+            gidx = idx[sub_pad]
+            f64 = jnp.float64
 
-        def _build_tier2():
-            def run(d1, d2, d3, d4, gi, m_list):
-                pol64 = jax.vmap(lambda a1, a2, a3, a4: solve_qcqp_polished(
-                    structure, a1, a2, a3, a4,
-                    ipm_config=IPMConfig(n_iters=30)))(d1, d2, d3, d4)
-                p_sel = [pf for m, pf in zip(a_mask, pol64) if m]
-                merged2 = [(mf if pf is None else
-                            mf.at[gi].set(pf.astype(mf.dtype)))
-                           for mf, pf in zip(m_list, p_sel)]
-                return pol64.max_violation, pol64.infeasible, merged2
-            return run
+            def _build_tier2(n_it=t2_iters):
+                def run(d1, d2, d3, d4, gi, m_list):
+                    pol64 = jax.vmap(
+                        lambda a1, a2, a3, a4: solve_qcqp_polished(
+                            structure, a1, a2, a3, a4,
+                            ipm_config=IPMConfig(n_iters=n_it)))(
+                        d1, d2, d3, d4)
+                    p_sel = [pf for m, pf in zip(a_mask, pol64) if m]
+                    merged2 = [(mf if pf is None else
+                                mf.at[gi].set(pf.astype(mf.dtype)))
+                               for mf, pf in zip(m_list, p_sel)]
+                    return pol64.max_violation, pol64.infeasible, merged2
+                return run
 
-        f2 = _cached_jit(pol64_mask_key, _build_tier2)
-        gidx_dev = jnp.asarray(gidx)
-        v64, i64, merged_fields = f2(
-            jnp.asarray(d_fixed, f64)[gidx_dev],
-            jnp.asarray(times, f64)[gidx_dev],
-            jnp.asarray(waypoints, f64)[gidx_dev],
-            jnp.asarray(radii, f64)[gidx_dev],
-            gidx_dev, merged_fields)
-        v64, i64 = jax.device_get((v64, i64))                  # ONE sync
-        t1_viol[sub] = np.asarray(v64)[:n2]
-        t1_inf[sub] = np.asarray(i64)[:n2]
+            f2 = _cached_jit(
+                ("tier2", structure, nb2, t2_iters, a_mask, a_dtypes),
+                _build_tier2)
+            gidx_dev = jnp.asarray(gidx)
+            v64, i64, merged_fields = f2(
+                jnp.asarray(d_fixed, f64)[gidx_dev],
+                jnp.asarray(times, f64)[gidx_dev],
+                jnp.asarray(waypoints, f64)[gidx_dev],
+                jnp.asarray(radii, f64)[gidx_dev],
+                gidx_dev, merged_fields)
+            v64, i64 = jax.device_get((v64, i64))              # ONE sync
+            t1_viol[sub] = np.asarray(v64)[:n2]
+            t1_inf[sub] = np.asarray(i64)[:n2]
+            f64_certified[sub] = np.asarray(i64)[:n2]
 
     it = iter(merged_fields)
     merged = QCQPSolution(*(next(it) if m else af
