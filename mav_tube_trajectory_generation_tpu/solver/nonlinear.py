@@ -127,6 +127,11 @@ class NonlinearParameters:
     use_hard_bounds: bool = True
     min_bound: Optional[Tuple[float, ...]] = None
     max_bound: Optional[Tuple[float, ...]] = None
+    # L-BFGS linesearch ("zoom" | "backtracking"; see _lbfgs_minimize).
+    # Backtracking stores the step-start gradient and probes value-only:
+    # one reverse sweep through the inner solve per step instead of one
+    # per probe -- the hot choice for gradient-through-the-solve paths.
+    lbfgs_linesearch: str = "zoom"
 
 
 class CostBreakdown(NamedTuple):
@@ -419,14 +424,30 @@ def _resolve_bounds(structure: ProblemStructure,
 # Optimizers.
 # ---------------------------------------------------------------------------
 
-def _lbfgs_minimize(fn, x0, n_iters: int, project=None):
-    """Fixed-iteration L-BFGS with zoom linesearch over a pytree.
+def _lbfgs_minimize(fn, x0, n_iters: int, project=None,
+                    linesearch: str = "zoom"):
+    """Fixed-iteration L-BFGS over a pytree.
 
     ``project`` (optional) maps the iterate back onto a feasible box after
     every update -- projected L-BFGS, the TPU analogue of NLOPT's
     set_lower/upper_bounds box handling (the iterate, and therefore every
-    subsequent linesearch probe, stays inside the box)."""
-    opt = optax.lbfgs()
+    subsequent linesearch probe, stays inside the box).
+
+    ``linesearch``: "zoom" (strong-Wolfe; several value+GRADIENT probes
+    per step -- each probe differentiates through the inner solve) or
+    "backtracking" (Armijo with the step-start gradient stored: ONE
+    reverse sweep per step, probes are value-only forward solves --
+    measured ~3x cheaper per step on the gradient-through-the-solve
+    path at equal final cost, benchmarks/nonlinear_bench.py)."""
+    if linesearch == "backtracking":
+        # scale_by_lbfgs emits the +H g (ascent-sign) direction -- the zoom
+        # linesearch negates internally, backtracking does not (verified on
+        # a quadratic: without scale(-1) the chain ASCENDS).
+        ls = optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=12, store_grad=True)
+        opt = optax.chain(optax.scale_by_lbfgs(), optax.scale(-1.0), ls)
+    else:
+        opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(fn)
 
     def step(carry, _):
@@ -702,8 +723,17 @@ def optimize_time_gradient(structure: ProblemStructure,
         return jnp.where(jnp.isfinite(cost) & (sol.cost >= 0.0), cost,
                          jnp.asarray(jnp.inf, cost.dtype))
 
+    # Normalize by the initial cost so the first L-BFGS direction (raw
+    # steepest descent) is O(1) regardless of the ~1e5-scale objective --
+    # without this the backtracking linesearch's geometric backoff cannot
+    # recover the step scale (zoom interpolates, so it only benefits).
+    c0 = jax.lax.stop_gradient(fn(jnp.zeros_like(times_init)))
+    c0 = jnp.where(jnp.isfinite(c0) & (c0 > 0), c0,
+                   jnp.ones_like(c0))
     theta, values = _lbfgs_minimize(
-        fn, jnp.zeros_like(times_init),
-        params.max_iterations if n_iters is None else n_iters)
+        lambda th: fn(th) / c0, jnp.zeros_like(times_init),
+        params.max_iterations if n_iters is None else n_iters,
+        project=lambda th: jnp.clip(th, theta_lo, theta_hi),
+        linesearch=params.lbfgs_linesearch)
     theta = jnp.clip(theta, theta_lo, theta_hi)
-    return times_init * jnp.exp(theta), values
+    return times_init * jnp.exp(theta), values * c0
