@@ -64,14 +64,10 @@ def time_fn(fn, args, n_iters=10):
 def main():
     quick = "--quick" in sys.argv
     import jax
-    if "--no-x64" not in sys.argv:
-        # x64 makes the strict router's f64 tier-2 endgame REACHABLE (the
-        # rescue is gated on jax_enable_x64), giving every scenario a
-        # determinate Mosek-grade verdict.  All hot-path dtypes are
-        # explicit f32, so the f32 programs' HLO -- and their cached
-        # compilations -- are unchanged (measured: headline within noise
-        # of the --no-x64 run).
-        jax.config.update("jax_enable_x64", True)
+    # No global x64: the router scopes the x64 flag PER TIER internally
+    # (solver/auto._X64_NOTE) -- a globally-x64 process would break the
+    # vmapped Pallas kernels (i64 grid indices fail Mosaic legalization)
+    # while the f64 tier-2 endgame is reachable without it.
     import jax.numpy as jnp
     from mav_tube_trajectory_generation_tpu.solver import linear, qcqp
 
@@ -163,9 +159,12 @@ def main():
         from mav_tube_trajectory_generation_tpu.solver import auto as auto_m
 
         def strict_once():
+            # tier1_block=8: the escalated bucket's IPM kernels interleave
+            # 8 scenarios per instance (round-4 sweep: 14.6k vs 14.1k at
+            # S=4, benchmarks/strict_variants.py).
             return auto_m.solve_qcqp_strict(
                 free, df_free, times, waypoints, radii,
-                warmstart_values=values, scenario_block=4)
+                warmstart_values=values, scenario_block=4, tier1_block=8)
 
         # The strict line must not take the headline down with it when the
         # long-lived axon TPU worker crashes mid-compile of a fresh program

@@ -16,9 +16,12 @@ import numpy as np
 
 def main():
     batch = 6144
+    band_gram = "xla"
     for a in sys.argv:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
+        if a.startswith("--bandgram="):
+            band_gram = a.split("=")[1]
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, "/root/repo")
@@ -29,7 +32,7 @@ def main():
      values) = make_inputs(10, batch)
     admm = qcqp.ADMMConfig(rho=0.005, n_stages=1, n_iters=48,
                            rho_tube_factor=0.125, rho_half_factor=0.125,
-                           use_pallas=True)
+                           use_pallas=True, band_gram=band_gram)
 
     def full_solve(df_free_b, times_b, waypoints_b, radii_b, values_b):
         con = qcqp.solve_qcqp_batch(free, df_free_b, times_b, waypoints_b,

@@ -62,7 +62,9 @@ def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
         wz = w[:, :, 2 * nb_p:3 * nb_p]
         sq = wx * wx + wy * wy + wz * wz
         scale = jnp.where(
-            sq > rb * rb, rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 1.0)
+            sq > rb * rb, rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)),
+            jnp.float32(1.0))   # f32 literal: a weak f64 scalar under x64
+                                # fails Mosaic legalization
         ball = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb_p), 2) < n_ball
         parts = [jnp.where(ball, wx * scale, jnp.minimum(wx, 0.0)),
                  jnp.where(ball, wy * scale, jnp.minimum(wy, 0.0)),
@@ -87,7 +89,10 @@ def _kernel(rho_ref, m1_ref, gt_ref, b_ref, rb_ref, xq_ref, z0_ref, u0_ref,
 
     init = (xq, z0_ref[:], z0_ref[:], u0_ref[:],
             jnp.full(rho.shape, jnp.inf, jnp.float32))
-    x, z, zp, u, prim = jax.lax.fori_loop(0, n_iters, body, init)
+    # int32 bounds: under x64 a Python-int bound makes the induction
+    # variable i64, which Mosaic cannot legalize.
+    x, z, zp, u, prim = jax.lax.fori_loop(jnp.int32(0),
+                                          jnp.int32(n_iters), body, init)
     x_out[:] = x
     z_out[:] = z
     zp_out[:] = zp
@@ -108,7 +113,9 @@ def _stage_core(rho, m1, gt, b, rb, xq, x0_ref, z0_ref, u0_ref,
         wz = w[:, :, 2 * nb_p:3 * nb_p]
         sq = wx * wx + wy * wy + wz * wz
         scale = jnp.where(
-            sq > rb * rb, rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 1.0)
+            sq > rb * rb, rb * jax.lax.rsqrt(jnp.maximum(sq, 1e-30)),
+            jnp.float32(1.0))   # f32 literal: a weak f64 scalar under x64
+                                # fails Mosaic legalization
         ball = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb_p), 2) < n_ball
         parts = [jnp.where(ball, wx * scale, jnp.minimum(wx, 0.0)),
                  jnp.where(ball, wy * scale, jnp.minimum(wy, 0.0)),
@@ -138,7 +145,8 @@ def _stage_core(rho, m1, gt, b, rb, xq, x0_ref, z0_ref, u0_ref,
         y0 = jnp.sum(gt * x0, axis=1, keepdims=True) + b
     init = (x0, z_init, z_init, u_init,
             jnp.full(rho.shape, jnp.inf, jnp.float32), y0)
-    x, z, zp, u, prim, y = jax.lax.fori_loop(0, n_iters, body, init)
+    x, z, zp, u, prim, y = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_iters), body, init)  # i32: see above
     # Dual-residual matvec G^T' dz: two single-axis reduces (a multi-axis
     # keepdims reduce crashes Mosaic's VectorLayoutInferer on v5e).
     dz = z - zp                                           # (S, 1, m_p)
@@ -230,6 +238,58 @@ def _kernel_fused_factored(rho_ref, sinv_ref, t_ref, tt_ref, gt_ref, b_ref,
                 x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
                 n_iters=n_iters, alpha=alpha, nb_p=nb_p, n_ball=n_ball,
                 init_z=init_z)
+
+
+def _kernel_gram_band_factors(gt_ref, pb_d_ref, pb_u_ref, rho_ref,
+                              db_out, ub_out, *, blk: int, sigma: float):
+    """gram_band fused one step further: emits the assembled KKT band
+    db = pb_d + rho * gd + sigma I, ub = pb_u + rho * gu directly (the
+    block-Thomas factor's inputs), so the band add/scale never exists as
+    separate XLA fusions + layout copies (~4.7 ms/batch 6144 measured
+    on the band_gram="pallas" profile)."""
+    gt = gt_ref[:]                        # (S, nfd, m_p)
+    rho = rho_ref[:]                      # (S, 1, 1)
+    s, nfd, _ = gt.shape
+    m_blk = nfd // blk
+    g = _gram_pair(gt, gt)                # (S, nfd, nfd) in VMEM
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, blk, blk), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, blk, blk), 2)
+    eye_b = jnp.where(row == col, jnp.float32(sigma), jnp.float32(0.0))
+    for i in range(m_blk):
+        gd_i = g[:, i * blk:(i + 1) * blk, i * blk:(i + 1) * blk]
+        db_out[:, i, :, :] = pb_d_ref[:, i, :, :] + rho * gd_i + eye_b
+    for i in range(m_blk - 1):
+        gu_i = g[:, i * blk:(i + 1) * blk, (i + 1) * blk:(i + 2) * blk]
+        ub_out[:, i, :, :] = pb_u_ref[:, i, :, :] + rho * gu_i
+
+
+def gram_band_factors(gt, pb_d, pb_u, rho, *, blk: int, sigma: float,
+                      interpret=None):
+    """(S, nfd, m_p) G^T + kron'd objective band + rho -> assembled KKT
+    band (db (S, m, blk, blk), ub (S, m-1, blk, blk)) in one kernel."""
+    return _gram_band_factors_jit(gt, pb_d, pb_u, rho, blk=blk,
+                                  sigma=sigma,
+                                  interpret=_resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "sigma", "interpret"))
+def _gram_band_factors_jit(gt, pb_d, pb_u, rho, *, blk: int, sigma: float,
+                           interpret: bool):
+    s, nfd, m_p = gt.shape
+    m_blk = nfd // blk
+    kernel = functools.partial(_kernel_gram_band_factors, blk=blk,
+                               sigma=sigma)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, m_blk, blk, blk), jnp.float32),
+            jax.ShapeDtypeStruct((s, m_blk - 1, blk, blk), jnp.float32),
+        ),
+        in_specs=[vmem] * 4,
+        out_specs=(vmem,) * 2,
+        interpret=interpret,
+    )(gt, pb_d, pb_u, rho)
 
 
 def _kernel_gram_band(gt_ref, gd_out, gu_out, *, blk: int, per_block: bool):

@@ -253,7 +253,8 @@ def _pipe_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
                                         _max_step_k(lam, dlam, tau)),
                             alpha_max)
         fin = jnp.min(jnp.where((jnp.abs(ds) < inf32)
-                                & (jnp.abs(dlam) < inf32), 1.0, 0.0),
+                                & (jnp.abs(dlam) < inf32),
+                                jnp.float32(1.0), jnp.float32(0.0)),
                       axis=2, keepdims=True)
         upd = (alpha > 0) & (fin > 0)
         x = jnp.where(upd, x + alpha * dx, x)
@@ -279,7 +280,8 @@ def _pipe_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
 
         best_a = jnp.zeros((s_blk_n, 1, 1), jnp.float32)
         best_p = phi(best_y)
-        for a_t in (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003):
+        for a_t in map(jnp.float32, (1.0, 0.5, 0.25, 0.1, 0.03, 0.01,
+                                     0.003)):
             p_t = phi(best_y + a_t * gdx)
             better = p_t < best_p
             best_a = jnp.where(better, a_t, best_a)
@@ -303,7 +305,8 @@ def _pipe_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
     elif eval_mode == "snap":
         c_b = _c_lanes_k(best_y, rb, nb_p, n_ball)
         margin = 3.0 / snap_rho
-        lam_s = jnp.where((c_b > -margin) & (act > 0), 1e-6, 0.0)
+        lam_s = jnp.where((c_b > -margin) & (act > 0), jnp.float32(1e-6),
+                          jnp.float32(0.0))
         s_s = lam_s / snap_rho
         _, _, jtwr2, _, lam_ball, aj, w_aj = _eval_core(
             gt, b_ref[:], rb, best_x, s_s, lam_s, nb_p=nb_p,
@@ -341,7 +344,7 @@ def _pipe_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
     bx_out[:] = best_x
     by_out[:] = best_y
     bm_out[:] = best_merit
-    maxlam_out[:] = jnp.max(jnp.where(act > 0, lam, 0.0), axis=2,
+    maxlam_out[:] = jnp.max(jnp.where(act > 0, lam, jnp.float32(0.0)), axis=2,
                             keepdims=True)
 
 
@@ -507,7 +510,7 @@ def _gj_inverse(m):
         d = a[:, p:p + 1, p:p + 1]                        # (S, 1, 1)
         prow_a = a[:, p:p + 1, :] / d
         prow_i = inv[:, p:p + 1, :] / d
-        elim = jnp.where(row == p, 0.0, a[:, :, p:p + 1])
+        elim = jnp.where(row == p, jnp.float32(0.0), a[:, :, p:p + 1])
         a = jnp.where(row == p, prow_a, a - elim * prow_a)
         inv = jnp.where(row == p, prow_i, inv - elim * prow_i)
     return inv
@@ -616,7 +619,8 @@ def _jdx_lanes_k(gdx, y, nb_p: int, n_ball: int):
 
 def _max_step_k(v, dv, tau: float):
     inf32 = jnp.float32(jnp.inf)
-    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), inf32)
+    ratio = jnp.where(dv < 0,
+                      -v / jnp.where(dv < 0, dv, jnp.float32(-1.0)), inf32)
     return jnp.minimum(1.0, tau * jnp.min(ratio, axis=2, keepdims=True))
 
 
@@ -722,7 +726,8 @@ def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
         return jnp.concatenate(parts, axis=2)
 
     def max_step(v, dv):
-        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), inf32)
+        ratio = jnp.where(dv < 0,
+                      -v / jnp.where(dv < 0, dv, jnp.float32(-1.0)), inf32)
         return jnp.minimum(1.0, tau * jnp.min(ratio, axis=2, keepdims=True))
 
     def merit_lane(c, s, lam):
@@ -760,7 +765,8 @@ def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
         # Finite-direction gate (see ipm_lanes._finite_step_mask): a NaN
         # direction yields a finite alpha, so check ds/dlam themselves.
         fin = jnp.min(jnp.where((jnp.abs(ds) < inf32)
-                                & (jnp.abs(dlam) < inf32), 1.0, 0.0),
+                                & (jnp.abs(dlam) < inf32),
+                                jnp.float32(1.0), jnp.float32(0.0)),
                       axis=2, keepdims=True)
         upd = (alpha > 0) & (fin > 0)
         x = jnp.where(upd, x + alpha * dx, x)
@@ -774,7 +780,7 @@ def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
         best_x = jnp.where(better, x, best_x)
         best_y = jnp.where(better, y, best_y)
         best_merit = jnp.where(better, merit, best_merit)
-        max_lam = jnp.max(jnp.where(act > 0, lam, 0.0), axis=2,
+        max_lam = jnp.max(jnp.where(act > 0, lam, jnp.float32(0.0)), axis=2,
                           keepdims=True)
         lam_mid = jnp.where(it == n_iters // 2, max_lam, lam_mid)
         return x, s, lam, y, best_x, best_y, best_merit, lam_mid
@@ -785,7 +791,8 @@ def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
             jnp.full((s_blk, 1, 1), jnp.inf, jnp.float32),
             jnp.zeros((s_blk, 1, 1), jnp.float32))
     (x_l, s_f, lam_f, y_l, best_x, best_y, best_merit, lam_mid) = \
-        jax.lax.fori_loop(0, n_iters, newton_body, init)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_iters),
+                          newton_body, init)   # i32: i64 breaks Mosaic
 
     def phi(y_a):
         c_a = c_lanes(y_a)
@@ -796,14 +803,16 @@ def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
         x, y = carry
         c = c_lanes(y)
         margin = 3.0 / snap_rho
-        lam_s = jnp.where((c > -margin) & (act > 0), 1e-6, 0.0)
+        lam_s = jnp.where((c > -margin) & (act > 0), jnp.float32(1e-6),
+                          jnp.float32(0.0))
         s_s = lam_s / snap_rho
         _, _, jtwr2, _, gram = eval_grams(s_s, lam_s, x, snap_rho, True)
         dx = _band_factor_solve(gram, pe_d, pe_u, 1e-6, -jtwr2, blk)
         gdx = jnp.sum(gt * dx, axis=1, keepdims=True)
         best_a = jnp.zeros((s_blk, 1, 1), jnp.float32)
         best_p = phi(y)
-        for a_t in (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003):
+        for a_t in map(jnp.float32, (1.0, 0.5, 0.25, 0.1, 0.03, 0.01,
+                                     0.003)):
             p_t = phi(y + a_t * gdx)
             better = p_t < best_p
             best_a = jnp.where(better, a_t, best_a)
@@ -813,10 +822,11 @@ def _solve_kernel(gt_ref, b_ref, rb_ref, pe_d_ref, pe_u_ref, q_ref,
         return x, y
 
     if snap_iters:
-        best_x, best_y = jax.lax.fori_loop(0, snap_iters, snap_body,
+        best_x, best_y = jax.lax.fori_loop(jnp.int32(0),
+                                       jnp.int32(snap_iters), snap_body,
                                            (best_x, best_y))
 
-    lam_fin_max = jnp.max(jnp.where(act > 0, lam_f, 0.0), axis=2,
+    lam_fin_max = jnp.max(jnp.where(act > 0, lam_f, jnp.float32(0.0)), axis=2,
                           keepdims=True)
     x_fin_out[:] = best_x
     y_fin_out[:] = best_y

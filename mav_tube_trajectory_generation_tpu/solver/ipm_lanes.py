@@ -201,12 +201,23 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
                          lam0_ball: Optional[jnp.ndarray] = None,
                          lam0_half: Optional[jnp.ndarray] = None,
                          scenario_block: int = 4,
+                         pre=None,
+                         pre_penalty=None,
                          interpret=None) -> QCQPSolution:
     """Batched plane-layout IPM solve (ALL args carry a leading batch axis).
 
     Same semantics as ``jax.vmap(ipm.solve_qcqp_ipm)`` for the flagship
     (free-interior, D=3, block-tridiagonal) family, float32.  See the module
     docstring for the layout/performance story.
+
+    ``pre``: a qcqp._PallasPre bundle from solve_qcqp_batch(_return_pre=
+    True) -- the ADMM's already-assembled padded system.  Its row scales
+    carry the ADMM's per-family penalty factors (sqrt(f) baked in); pass
+    the (f_sphere, f_tube, f_half) triple as ``pre_penalty`` and the
+    system is converted back to the penalty-free form by STATIC per-lane
+    multipliers (qcqp.penalty_unscale_maps) -- one broadcast multiply
+    over G^T instead of a second assembly + relayout chain (~15-25 ms
+    /batch 6144 of the strict tier-0 program).
     """
     from .banded import kkt_tridiag_block
     blk = kkt_tridiag_block(structure)
@@ -262,8 +273,34 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
             _pad(a) for a in (d_fixed, times, waypoints, radii, x0,
                               lam0_ball, lam0_half))
 
-    (p_eq, q_eq, d_scale, x_init, gt, b_pad, rb, sb, sh) = _lanes_setup(
-        structure, d_fixed, times, waypoints, radii, x0, layout)
+    if pre is not None:
+        from .qcqp import penalty_unscale_maps
+        if pre_penalty is None:
+            pre_penalty = (1.0, 1.0, 1.0)
+        lane_r, ball_r, half_r = penalty_unscale_maps(
+            structure, layout, *pre_penalty)
+        lane_rj = jnp.asarray(lane_r)[None, None, :]
+        if bsz != orig_b:
+            pre = type(pre)(*(_pad(f) for f in pre))
+        # The pre bundle's objective blocks carry the CALLER's dtype (f64
+        # under an x64 dry run); the lanes path is f32 throughout.
+        p_eq = jnp.asarray(pre.p_eq, f32)
+        q_eq = jnp.asarray(pre.q_flat, f32).reshape(bsz, n_free, dim)
+        d_scale = jnp.asarray(pre.d_scale, f32)
+        # x0 is the tier-0 solution's d_free (true space); rescale like
+        # _objective_blocks does.
+        x_init = (jnp.asarray(x0, f32)
+                  / d_scale[:, :, None]) if x0 is not None else None
+        gt = jnp.asarray(pre.gt, f32) * lane_rj
+        b_pad = jnp.asarray(pre.b_pad, f32) * lane_rj      # (B, 1, m_p)
+        rb = jnp.asarray(pre.rb, f32) * jnp.asarray(ball_r)[None, :]
+        sb = jnp.asarray(pre.sb, f32) * jnp.asarray(ball_r)[None, :]
+        sh = jnp.asarray(pre.sh, f32) * jnp.asarray(half_r)[None, :]
+        if x_init is None:
+            raise ValueError("pre reuse requires x0 (the tier-0 iterate)")
+    else:
+        (p_eq, q_eq, d_scale, x_init, gt, b_pad, rb, sb, sh) = _lanes_setup(
+            structure, d_fixed, times, waypoints, radii, x0, layout)
 
     rb_pad = jnp.concatenate(
         [rb, jnp.ones((bsz, layout.tail), f32)], axis=-1)  # (B, nb_p)
@@ -581,7 +618,8 @@ def solve_qcqp_ipm_lanes(structure: ProblemStructure,
             # (their clipped estimate is 0 -- no rhs force), so the step
             # does not trade one violation for a new one.
             margin = 3.0 / snap_rho
-            lam_s = jnp.where((c > -margin) & (act > 0), 1e-6, 0.0)
+            lam_s = jnp.where((c > -margin) & (act > 0),
+                              jnp.float32(1e-6), jnp.float32(0.0))
             s_s = lam_s / snap_rho
             _, _, jtwr2, _, gd, gu = eval_step_k(x, s_s, lam_s,
                                                  w_cap_k=snap_rho, phr=True)
@@ -701,6 +739,25 @@ def solve_qcqp_polished_batch(structure: ProblemStructure,
         # Mehrotra variant's quality (61/64 vs 58/64 under the 1e-4 strict
         # gate, median 5e-7) at one factored solve + one G dx per step.
         ipm_config = IPMConfig(n_iters=10, sigma_min=0.3, corrector=False)
+    reuse = admm_config.use_pallas and structure.dimension == 3
+    if reuse:
+        # Reuse the ADMM's assembled padded system for the polish: the
+        # lanes setup would otherwise re-assemble G^T (a second gather +
+        # broadcast-multiply + relayout chain, ~15-25 ms/batch 6144 of
+        # the strict tier-0 program); static per-lane multipliers undo
+        # the ADMM's per-family penalty scaling instead.
+        a, pre = qcqp_mod.solve_qcqp_batch(
+            structure, d_fixed, times, waypoints, radii,
+            config=admm_config, warmstart_values=warmstart_values,
+            scenario_block=scenario_block, _return_pre=True)
+        return solve_qcqp_ipm_lanes(
+            structure, d_fixed, times, waypoints, radii,
+            config=ipm_config, x0=a.d_free, lam0_ball=a.dual_ball,
+            lam0_half=a.dual_half, scenario_block=scenario_block,
+            pre=pre, pre_penalty=(admm_config.rho_sphere_factor,
+                                  admm_config.rho_tube_factor,
+                                  admm_config.rho_half_factor),
+            interpret=interpret)
     a = qcqp_mod.solve_qcqp_batch(structure, d_fixed, times, waypoints,
                                   radii, config=admm_config,
                                   warmstart_values=warmstart_values,

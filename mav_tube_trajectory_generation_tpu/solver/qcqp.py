@@ -96,10 +96,11 @@ class ADMMConfig:
     band_gram: str = "xla"
 
     def __post_init__(self):
-        if self.band_gram not in ("xla", "pallas", "pallas_block"):
+        if self.band_gram not in ("xla", "pallas", "pallas_block",
+                                  "pallas_db"):
             raise ValueError(
-                f"band_gram must be 'xla', 'pallas' or 'pallas_block', "
-                f"got {self.band_gram!r}")
+                f"band_gram must be 'xla', 'pallas', 'pallas_block' or "
+                f"'pallas_db', got {self.band_gram!r}")
         if self.kkt_apply not in ("factored", "inverse"):
             raise ValueError(
                 f"kkt_apply must be 'factored' or 'inverse', got "
@@ -355,6 +356,38 @@ def _padded_gather_maps(k: int, n: int, layout: _PadLayout):
 _GATHER_MAP_CACHE: dict = {}
 
 
+def penalty_unscale_maps(structure: ProblemStructure, layout: _PadLayout,
+                         f_sphere: float, f_tube: float, f_half: float):
+    """Static multipliers that convert the ADMM's penalty-scaled padded
+    system (ADMMConfig.rho_*_factor baked into the row scales as sqrt(f))
+    back to the penalty-free (f=1) system the IPM/lanes path assembles --
+    letting tier-0 reuse ONE G^T assembly for both solvers.
+
+    Returns (lane_ratio (m_p,), ball_ratio (n_ball,), half_ratio (n_half,))
+    as float32 NumPy arrays (pad lanes get ratio 1).
+    """
+    k = structure.n_segments
+    n = structure.n_coefficients
+    key = (k, n, layout)
+    maps = _GATHER_MAP_CACHE.get(key)
+    if maps is None:
+        maps = _padded_gather_maps(k, n, layout)
+        _GATHER_MAP_CACHE[key] = maps
+    scl_idx = maps[2]
+    n_sph = k - 1
+    n_ball = layout.n_ball
+    n_half = layout.n_half
+    inv = np.concatenate([
+        np.full(n_sph, 1.0 / np.sqrt(f_sphere)),
+        np.full(n_ball - n_sph, 1.0 / np.sqrt(f_tube)),
+        np.full(n_half, 1.0 / np.sqrt(f_half)),
+        np.ones(1)]).astype(np.float32)
+    lane_ratio = inv[scl_idx]
+    ball_ratio = inv[:n_ball]
+    half_ratio = inv[n_ball:n_ball + n_half]
+    return lane_ratio, ball_ratio, half_ratio
+
+
 def _padded_constraint_system(structure: ProblemStructure,
                               times: jnp.ndarray,
                               d_fixed: jnp.ndarray,
@@ -415,12 +448,18 @@ def _padded_constraint_system(structure: ProblemStructure,
     # Row equilibration scales (identical semantics to solve_qcqp's clip),
     # times the per-family sqrt(penalty factor) (ADMMConfig.rho_*_factor).
     rs_lo, rs_hi = _row_scale_bounds(n)
-    sb_sph = np.sqrt(f_sphere) / jnp.clip(
+    # Python-float scales, NOT np scalars: a NumPy f64 scalar is strongly
+    # typed and would promote the whole assembly to f64 under
+    # jax_enable_x64 (v5e has no native f64 -- the compile fails).
+    f_sphere, f_tube, f_half = (float(np.sqrt(f_sphere)),
+                                float(np.sqrt(f_tube)),
+                                float(np.sqrt(f_half)))
+    sb_sph = f_sphere / jnp.clip(
         e_norm[:k - 1, n - 1], rs_lo, rs_hi)                        # (K-1,)
-    sb_tube = np.sqrt(f_tube) / jnp.clip(
-        proj_f[:, None] * e_norm[:, mid] / jnp.sqrt(3.0),
+    sb_tube = f_tube / jnp.clip(
+        proj_f[:, None] * e_norm[:, mid] * float(1.0 / np.sqrt(3.0)),
         rs_lo, rs_hi)                                               # (K,M)
-    sh_kj = np.sqrt(f_half) / jnp.clip(e_norm[:, mid], rs_lo, rs_hi)  # (K,M)
+    sh_kj = f_half / jnp.clip(e_norm[:, mid], rs_lo, rs_hi)       # (K,M)
 
     # --- G^T in ONE write: gather + broadcast-multiply. --------------------
     # Every constraint row is ecp_s[k_m, j_m, :] (x) w_m (direction vector
@@ -622,7 +661,9 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
         kron = lambda a: jnp.einsum('smab,cd->smacbd', a, eye_d).reshape(
             s, a.shape[1], blk, blk)
         pb_d, pb_u = kron(pe_d), kron(pe_u)
-        if pallas_band:
+        if pallas_band and config.band_gram == "pallas_db":
+            gd = gu = None          # db/ub come from the fused kernel
+        elif pallas_band:
             gd, gu = admm_kernel.gram_band(
                 gt, blk=blk,
                 per_block=(config.band_gram == "pallas_block"))
@@ -645,8 +686,12 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
         if banded_kkt:
             rho_b = rho[:, None, :, :]                     # (S, 1, 1, 1)
             from . import banded
-            db = pb_d + rho_b * gd + config.sigma * eye_b
-            ub = pb_u + rho_b * gu
+            if gd is None:      # band_gram == "pallas_db"
+                db, ub = admm_kernel.gram_band_factors(
+                    gt, pb_d, pb_u, rho, blk=blk, sigma=config.sigma)
+            else:
+                db = pb_d + rho_b * gd + config.sigma * eye_b
+                ub = pb_u + rho_b * gu
             if factored:
                 # Block-LDL^T factors only; the dense inverse is never
                 # materialized -- m1 = W^-1 G^T happens in-kernel by
@@ -1000,7 +1045,8 @@ def solve_qcqp_batch(structure: ProblemStructure,
                      config: ADMMConfig = ADMMConfig(),
                      x0: Optional[jnp.ndarray] = None,
                      warmstart_values: Optional[jnp.ndarray] = None,
-                     scenario_block: int = 4) -> QCQPSolution:
+                     scenario_block: int = 4,
+                     _return_pre: bool = False) -> QCQPSolution:
     """Batched Pallas-path QCQP with scenario blocking (all args carry a
     leading batch axis B).
 
@@ -1075,10 +1121,17 @@ def solve_qcqp_batch(structure: ProblemStructure,
             config, pre.gt, pre.b_pad, pre.rb, layout, pre.p_big,
             pre.q_flat, pre.x_flat0, nfd, dtype, kkt_block=kkt_block,
             p_eq=pre.p_eq)
-        return jax.vmap(lambda dfi, ti, prei, x, u, y, rho, pr, du:
-                        _pallas_post(structure, config, dfi, ti, prei,
-                                     x, u, y, rho, pr, du, dtype))(
+        sol_b = jax.vmap(lambda dfi, ti, prei, x, u, y, rho, pr, du:
+                         _pallas_post(structure, config, dfi, ti, prei,
+                                      x, u, y, rho, pr, du, dtype))(
             df, t, pre, outs[0], outs[2], outs[3], outs[4], outs[5], outs[6])
+        if _return_pre:
+            # The lanes polish reuses the assembled system (rescaled by
+            # penalty_unscale_maps); p_big is the dense fallback the
+            # banded path never materializes -- drop it from the reuse
+            # bundle so it is not forced live.
+            return sol_b, pre._replace(p_big=pre.q_flat)
+        return sol_b
 
     if wv_g is not None:
         sol = jax.vmap(lambda a, b, c, d, e: block(a, b, c, d, wv=e))(
@@ -1087,6 +1140,8 @@ def solve_qcqp_batch(structure: ProblemStructure,
         sol = jax.vmap(block)(d_fixed_g, times_g, waypoints_g, radii_g)
     else:
         sol = jax.vmap(block)(d_fixed_g, times_g, waypoints_g, radii_g, x0_g)
+    # Both the solution and (when _return_pre) the pre bundle carry the
+    # same (b_pad // s, s, ...) leading blocking.
     flat = jax.tree.map(lambda a: a.reshape((b_pad,) + a.shape[2:])[:b], sol)
     return flat
 
