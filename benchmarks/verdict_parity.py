@@ -97,14 +97,15 @@ def main():
     def f(df_free, times, waypoints, radii, values):
         if router:
             # Router device path: host control flow (gate -> gathered
-            # escalation), so not jitted end-to-end.
+            # escalation), so not jitted end-to-end.  The router gets the
+            # ORIGINAL f64 problem data -- its chip tiers cast to f32
+            # internally and the f64 tier-2 solves the true problem (the
+            # f32-rounded DATA itself perturbs 1e-4 feasibility margins
+            # on near-degenerate corridors).
             res = auto.solve_qcqp_auto(
-                free, jnp.asarray(np.asarray(df_free), jnp.float32),
-                jnp.asarray(np.asarray(times), jnp.float32),
-                jnp.asarray(np.asarray(waypoints), jnp.float32),
-                jnp.asarray(np.asarray(radii), jnp.float32),
-                warmstart_values=jnp.asarray(np.asarray(values),
-                                             jnp.float32))
+                free, jnp.asarray(df_free), times,
+                jnp.asarray(waypoints), jnp.asarray(radii),
+                warmstart_values=jnp.asarray(values))
             a_feas = jnp.asarray(res.verdict == auto.FEASIBLE)
             a_cost = res.solution.cost
             f.n_escalated += res.n_escalated
@@ -171,9 +172,11 @@ def main():
 
     # Adaptive ground-truth escalation (round-4 VERDICT task #3): the
     # 30-iter recipe leaves near-degenerate corridors undetermined where
-    # Mosek would return a definitive status; re-solve exactly those rows
-    # with a 4x iteration budget and take whichever verdict appears.
-    und_idx = np.nonzero(undetermined)[0]
+    # Mosek would return a definitive status; re-solve those rows -- and
+    # the certificate-only rows, whose warm dynamic certificate can
+    # false-fire where a longer run exhibits a feasible point -- with a
+    # 4x iteration budget; exhibition outranks the certificate.
+    und_idx = np.nonzero(undetermined | ipm_infeas)[0]
     if und_idx.size:
         all_df = np.concatenate([i[0] for i in inputs])
         all_t = np.concatenate([i[1] for i in inputs])
