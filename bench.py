@@ -148,6 +148,14 @@ def main():
               f"scenarios/s (median vmax {float(jnp.median(out5[0])):.2f}, "
               f"amax {float(jnp.median(out5[1])):.2f})", file=sys.stderr)
 
+        # Free the headline/extrema executables first: their temp arenas
+        # plus the strict tiers' exceed the chip's HBM, and the axon worker
+        # dies with a kernel fault instead of a clean OOM (reproduced +
+        # bisected: del-ing the jitted headline fn fixes it).
+        import gc
+        del solve, out, f5, out5
+        gc.collect()
+
         # Strict-feasibility (Mosek-grade) path: the ROUTER
         # (solver/auto.solve_qcqp_strict) -- ADMM + snap-only Gauss-Newton
         # tier 0 (one band factor), then ONLY the rows still >= 1e-4
