@@ -269,30 +269,45 @@ def solve_qcqp_auto(structure: ProblemStructure,
     t1_viol = np.asarray(t1_viol)[:n_esc].copy()
     t1_inf = np.asarray(t1_inf)[:n_esc].copy()
 
-    # Tier 1.5: a second f32 escalation on the residue -- a RESTART of the
-    # lanes polish from the tier-1 iterate with FRESH factors and extra
-    # snap sweeps.  The handful of rows tier-1 leaves above the strict
-    # gate are not f32-unresolvable (the round-3 assumption): a restarted
-    # endgame lands them (measured: 7/7 bench-distribution residue rows
-    # at ~11 ms, benchmarks/residue_probe.py), so the f64 tier below
-    # almost never fires on generous corridors and its cost vanishes
-    # from the steady state.
-    need15 = (t1_viol >= strict_gate) & ~t1_inf
-    if need15.any():
+    # Tier 1.5: f32 RESTART chain on the residue.  The rows tier-1 leaves
+    # above the strict gate are not f32-unresolvable (the round-3
+    # assumption): a restarted endgame -- fresh factors, re-centered warm
+    # duals, a different iteration path -- lands them (measured: 7/7
+    # bench-distribution residue rows for EVERY restart variant tried,
+    # benchmarks/residue_probe.py).  Two restarts with DIFFERENT rounding
+    # paths (single-direction + extra snaps, then Mehrotra corrector),
+    # each warm-started from the CURRENT merged iterate and firing only
+    # on what remains, push the f64 tier's firing rate to ~zero on
+    # generous corridors -- its (host CPU) cost vanishes from the steady
+    # state.
+    fields_idx = QCQPSolution._fields
+    sel_fields = [i for i, m in enumerate(a_mask) if m]
+    pos_df = sel_fields.index(fields_idx.index("d_free"))
+    pos_db = sel_fields.index(fields_idx.index("dual_ball"))
+    pos_dh = sel_fields.index(fields_idx.index("dual_half"))
+    restart_cfgs = (
+        IPMConfig(n_iters=10, snap_iters=6, sigma_min=0.3,
+                  corrector=False),
+        IPMConfig(n_iters=10, snap_iters=4, sigma_min=0.3,
+                  corrector=True),
+    )
+    for ipm15 in restart_cfgs:
+        need15 = (t1_viol >= strict_gate) & ~t1_inf
+        if not need15.any():
+            break
         sub15 = np.nonzero(need15)[0]
         n15 = int(sub15.size)
         nb15 = _bucket(n15, tier1_block)
         sub15_pad = np.concatenate(
             [sub15, np.full(nb15 - n15, sub15[-1], dtype=sub15.dtype)])
         gidx15 = idx[sub15_pad]
-        ipm15 = IPMConfig(n_iters=10, snap_iters=6, sigma_min=0.3,
-                          corrector=False)
 
-        def _build_tier15():
-            def run(df, t, w, r, x0_, lb, lh, gi, sp, m_list):
+        def _build_tier15(cfg=ipm15):
+            def run(df, t, w, r, gi, m_list):
                 pol15 = ipm_lanes.solve_qcqp_ipm_lanes(
-                    structure, df[gi], t[gi], w[gi], r[gi], config=ipm15,
-                    x0=x0_[sp], lam0_ball=lb[sp], lam0_half=lh[sp],
+                    structure, df[gi], t[gi], w[gi], r[gi], config=cfg,
+                    x0=m_list[pos_df][gi], lam0_ball=m_list[pos_db][gi],
+                    lam0_half=m_list[pos_dh][gi],
                     scenario_block=tier1_block, interpret=interpret)
                 p_sel = [pf for m, pf in zip(a_mask, pol15) if m]
                 merged15 = [mf.at[gi].set(pf.astype(mf.dtype))
@@ -302,14 +317,12 @@ def solve_qcqp_auto(structure: ProblemStructure,
 
         f15 = _cached_jit(
             ("tier15", structure, ipm15, tier1_block, interpret, nb15,
-             nb, a_mask, a_dtypes),
+             a_mask, a_dtypes),
             _build_tier15)
         with jax.enable_x64(False):       # see _X64_NOTE
             v15, i15, merged_fields = f15(
                 d_fixed32, times32, waypoints32, radii32,
-                polished.d_free, polished.dual_ball, polished.dual_half,
-                jnp.asarray(gidx15), jnp.asarray(sub15_pad),
-                merged_fields)
+                jnp.asarray(gidx15), merged_fields)
         v15, i15 = jax.device_get((v15, i15))                 # ONE sync
         t1_viol[sub15] = np.minimum(t1_viol[sub15],
                                     np.asarray(v15)[:n15])
