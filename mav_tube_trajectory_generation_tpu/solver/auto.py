@@ -285,11 +285,14 @@ def solve_qcqp_auto(structure: ProblemStructure,
     pos_df = sel_fields.index(fields_idx.index("d_free"))
     pos_db = sel_fields.index(fields_idx.index("dual_ball"))
     pos_dh = sel_fields.index(fields_idx.index("dual_half"))
+    # Corrector first: it resolved the full residue ALONE on the bench
+    # distribution (residue_probe), so the second (single-direction)
+    # restart's dispatch round trip is usually never paid.
     restart_cfgs = (
-        IPMConfig(n_iters=10, snap_iters=6, sigma_min=0.3,
-                  corrector=False),
         IPMConfig(n_iters=10, snap_iters=4, sigma_min=0.3,
                   corrector=True),
+        IPMConfig(n_iters=10, snap_iters=6, sigma_min=0.3,
+                  corrector=False),
     )
     for ipm15 in restart_cfgs:
         need15 = (t1_viol >= strict_gate) & ~t1_inf
