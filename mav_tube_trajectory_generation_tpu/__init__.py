@@ -40,7 +40,8 @@ from .solver.ipm import IPMConfig, solve_qcqp_ipm, solve_qcqp_polished
 from .solver.ipm_lanes import (solve_qcqp_ipm_lanes,
                                solve_qcqp_polished_batch)
 from .solver.auto import (AutoResult, FEASIBLE, INFEASIBLE, UNDETERMINED,
-                          solve_qcqp_auto, solve_qcqp_strict)
+                          solve_qcqp_auto, solve_qcqp_strict,
+                          solve_qcqp_strict_sharded)
 from .solver.nonlinear import (Objective, CostWeights, MagnitudeConstraint,
                                NonlinearParameters, NonlinearResult,
                                optimize, optimize_time_gradient)
