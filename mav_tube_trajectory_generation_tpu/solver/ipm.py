@@ -107,7 +107,10 @@ class IPMConfig:
     # tail, the corrector's adaptive sigma buys little on warm starts.
     corrector: bool = True
     # Weighted-Gram matmul precision inside the lanes kernel
-    # (ops/ipm_kernel.ipm_eval_step).
+    # (ops/ipm_kernel.ipm_eval_step).  NOTE: Mosaic kernels support only
+    # "highest"/"default" ("high" raises NotImplementedError on lowering;
+    # measured round 4), and "default" (1-pass bf16) is far below the
+    # solver's feasibility needs -- "highest" is the only production value.
     gram_precision: str = "highest"
     # Lanes path: run the ENTIRE polish (Newton scan + snap) as one fused
     # Pallas kernel (ops/ipm_kernel.ipm_solve_fused) -- G^T, the Gram, and
