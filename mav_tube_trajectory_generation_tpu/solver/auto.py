@@ -420,9 +420,13 @@ def solve_qcqp_strict(structure: ProblemStructure,
                       interpret=None) -> AutoResult:
     """Mosek-grade strict-feasibility solve at router throughput.
 
-    Tier 0: ADMM + snap-only Gauss-Newton sweeps (one band factor);
+    Tier 0: ADMM + 2 snap-only Gauss-Newton sweeps (one band factor each;
+    a 3rd sweep costs more than the ~330 extra escalations it prevents
+    now that the restart chain recovers the tail -- round-4 sweep:
+    13.7k vs 13.0k solves/s at identical 6144/6144 quality);
     tier 1: rows still >= 1e-4 escalate to the warm-started plane-layout
-    IPM polish; optional tier 2 (f64 rows IPM) for the residue.  Verdicts
+    IPM polish; tier 1.5: f32 restart chain on the residue; tier 2 (f64
+    rows IPM on the host CPU) for anything left.  Verdicts
     are feasibility-by-exhibition at the 1e-4 strict gate -- the per-solve
     semantics of the reference's Mosek backend (qcqp_impl.h:709-788) with
     the polish cost paid ONLY by the scenarios that need it.
@@ -431,7 +435,7 @@ def solve_qcqp_strict(structure: ProblemStructure,
                            warmstart_values=warmstart_values,
                            gate=1e-4, strict_gate=1e-4,
                            scenario_block=scenario_block,
-                           tier0_snap=3, tier2_f64=tier2_f64,
+                           tier0_snap=2, tier2_f64=tier2_f64,
                            tier1_block=tier1_block, ipm_config=ipm_config,
                            interpret=interpret)
 
