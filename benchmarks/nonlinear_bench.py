@@ -56,6 +56,10 @@ def main():
         objective=nonlinear.Objective.TIME, max_iterations=iters,
         time_penalty=500.0, use_soft_constraints=False,
         lbfgs_linesearch="backtracking")
+    params_hy = nonlinear.NonlinearParameters(
+        objective=nonlinear.Objective.TIME, max_iterations=iters,
+        time_penalty=500.0, use_soft_constraints=False,
+        lbfgs_linesearch="hybrid", hybrid_zoom_iters=4)
 
     def run_nm(df, t):
         return jax.vmap(lambda a, b: nonlinear.optimize(
@@ -72,9 +76,17 @@ def main():
         return jax.vmap(lambda a, b: nonlinear.optimize_time_gradient(
             std, a, b, params_bt, n_iters=iters))(df, t)
 
+    def run_grad_hy(df, t):
+        # Hybrid: backtracking for iters-4 steps, strong-Wolfe zoom
+        # endgame from the plateau (fresh L-BFGS memory) -- targets
+        # backtracking's throughput with zoom's final cost.
+        return jax.vmap(lambda a, b: nonlinear.optimize_time_gradient(
+            std, a, b, params_hy, n_iters=iters))(df, t)
+
     for name, fn in (("nelder-mead/time", run_nm),
                      ("grad-through-solve/time", run_grad),
-                     ("grad-backtracking/time", run_grad_bt)):
+                     ("grad-backtracking/time", run_grad_bt),
+                     ("grad-hybrid/time", run_grad_hy)):
         f = jax.jit(fn)
         out = f(d_fixed, times)
         jax.block_until_ready(out)

@@ -52,6 +52,11 @@ class AutoResult(NamedTuple):
     verdict: np.ndarray           # (B,) int8: +1 / -1 / 0 (see module codes)
     escalated: np.ndarray         # (B,) bool: row was re-solved by the IPM
     n_escalated: int
+    # (B,) int8 diagnostic: the LAST tier that re-ran each row (0 = tier-0
+    # gate pass, 1 = tier-1 IPM, 2/3 = tier-1.5 restart #1/#2, 4 = tier-2
+    # f64, 5 = cost polish).  For FEASIBLE escalated rows this is the tier
+    # that landed them (restarts only fire on still-failing rows).
+    tier: Optional[np.ndarray] = None
 
 
 #: Cached jitted tier functions, keyed by (structure, configs, flags): the
@@ -100,6 +105,216 @@ def _bucket(n: int, block: int) -> int:
     if n <= b:
         return b
     return ((n + 255) // 256) * 256
+
+
+def _sel_positions(a_mask):
+    """Positions of the named QCQPSolution fields inside the mask-filtered
+    merged-field list the tier programs carry."""
+    fields_idx = QCQPSolution._fields
+    sel = [i for i, m in enumerate(a_mask) if m]
+    return {name: sel.index(fields_idx.index(name))
+            for name in ("d_free", "dual_ball", "dual_half",
+                         "max_violation")}
+
+
+def _run_tier15_chain(structure, d32, t32, w32, r32, idx, t1_viol, t1_inf,
+                      merged_fields, a_mask, a_dtypes, tier1_block,
+                      strict_gate, interpret, mesh=None, shard_spec=None,
+                      p_sh=None, tier_mark=None):
+    """Tier 1.5: f32 RESTART chain on the residue (shared by the
+    single-process and sharded routers; ``mesh`` switches the lanes solve
+    to ``shard_map`` with bucket sizes quantized to the mesh).
+
+    The rows tier-1 leaves above the strict gate are not f32-unresolvable
+    (the round-3 assumption): a restarted endgame -- fresh factors,
+    re-centered warm duals, a different iteration path -- lands them
+    (measured: 7/7 bench-distribution residue rows for EVERY restart
+    variant tried, benchmarks/residue_probe.py).  Two restarts with
+    DIFFERENT rounding paths (Mehrotra corrector first -- it resolved the
+    full residue ALONE on the bench distribution -- then single-direction
+    + extra snaps), each warm-started from the current best iterate and
+    firing only on what remains, push the f64 tier's firing rate to ~zero
+    on generous corridors.
+
+    Mutates ``t1_viol`` / ``t1_inf`` in place; returns the updated merged
+    fields.  Certificates are REPLACED, not OR-ed: each restart
+    re-examined the row with fresh factors, so its latest certificate
+    supersedes an earlier (possibly false-fired) f32 one (advisor r04 #1).
+    """
+    pos = _sel_positions(a_mask)
+    ndev = 1 if mesh is None else int(mesh.devices.size)
+    quantum = tier1_block * ndev
+    restart_cfgs = (
+        IPMConfig(n_iters=10, snap_iters=4, sigma_min=0.3,
+                  corrector=True),
+        IPMConfig(n_iters=10, snap_iters=6, sigma_min=0.3,
+                  corrector=False),
+    )
+    for restart_no, ipm15 in enumerate(restart_cfgs):
+        need15 = (t1_viol >= strict_gate) & ~t1_inf
+        if not need15.any():
+            break
+        sub15 = np.nonzero(need15)[0]
+        n15 = int(sub15.size)
+        nb15 = _bucket(n15, tier1_block)
+        if mesh is not None:
+            nb15 = ((max(nb15, quantum) + quantum - 1)
+                    // quantum) * quantum
+        sub15_pad = np.concatenate(
+            [sub15, np.full(nb15 - n15, sub15[-1], dtype=sub15.dtype)])
+        gidx15 = idx[sub15_pad]
+
+        def _build_tier15(cfg=ipm15):
+            def t15_local(df, t, w, r, x0_, lb, lh):
+                return ipm_lanes.solve_qcqp_ipm_lanes(
+                    structure, df, t, w, r, config=cfg, x0=x0_,
+                    lam0_ball=lb, lam0_half=lh,
+                    scenario_block=tier1_block, interpret=interpret)
+            if mesh is None:
+                t15 = t15_local
+                con = lambda v: v
+            else:
+                t15 = jax.shard_map(t15_local, mesh=mesh,
+                                    in_specs=(p_sh,) * 7,
+                                    out_specs=p_sh, check_vma=False)
+                con = lambda v: jax.lax.with_sharding_constraint(
+                    v, shard_spec)
+
+            def run(df, t, w, r, gi, m_list):
+                pol15 = t15(con(df[gi]), con(t[gi]), con(w[gi]),
+                            con(r[gi]), con(m_list[pos["d_free"]][gi]),
+                            con(m_list[pos["dual_ball"]][gi]),
+                            con(m_list[pos["dual_half"]][gi]))
+                p_sel = [pf for m, pf in zip(a_mask, pol15) if m]
+                # Best-by-violation merge: a restart that REGRESSES a
+                # still-failing row must not overwrite the better iterate
+                # the verdict bookkeeping (np.minimum below) tracks --
+                # solution and verdict stay consistent, and the next
+                # restart warm-starts from the best point seen.
+                keep = (pol15.max_violation
+                        < m_list[pos["max_violation"]][gi])
+
+                def _take(new, old):
+                    k = keep.reshape(keep.shape + (1,) * (new.ndim - 1))
+                    return jnp.where(k, new.astype(old.dtype), old)
+
+                merged15 = [mf.at[gi].set(_take(pf, mf[gi]))
+                            for mf, pf in zip(m_list, p_sel)]
+                return pol15.max_violation, pol15.infeasible, merged15
+            return run
+
+        f15 = _cached_jit(
+            ("tier15", structure, ipm15, tier1_block, interpret, nb15,
+             a_mask, a_dtypes, mesh), _build_tier15)
+        with jax.enable_x64(False):       # see _X64_NOTE
+            v15, i15, merged_fields = f15(
+                d32, t32, w32, r32, jnp.asarray(gidx15), merged_fields)
+        v15, i15 = jax.device_get((v15, i15))                 # ONE sync
+        t1_viol[sub15] = np.minimum(t1_viol[sub15],
+                                    np.asarray(v15)[:n15])
+        t1_inf[sub15] = np.asarray(i15)[:n15]
+        if tier_mark is not None:
+            tier_mark[sub15] = 2 + restart_no
+    return merged_fields
+
+
+def _run_tier2_f64(structure, d_fixed, times, waypoints, radii, idx,
+                   t1_viol, t1_inf, merged_fields, a_mask, a_dtypes,
+                   strict_gate, tier_mark=None):
+    """Tier 2: f64 rows IPM on the HOST CPU for anything the f32 chip
+    tiers cannot settle (shared by both routers; on a mesh each process
+    runs it on its addressable residue).
+
+    Two-stage like the parity study's escalated ground truth: 30 f64
+    iterations resolve the bulk; rows still above the strict gate after
+    that get a 4x budget -- INCLUDING rows the 30-iter pass certified
+    infeasible: a warm f64 certificate can false-fire exactly where a
+    longer run exhibits a feasible point (measured: 41 conservative gate
+    misses at r<0.1 in the 4096-study were stage-2 skips), and
+    feasibility-by-exhibition always outranks a certificate -- the same
+    precedence the ground truth applies.  Solves the caller's ORIGINAL
+    (precision-unclipped) problem data -- Mosek's everything-in-doubles
+    semantics (qcqp_impl.h:709-788).
+
+    Mutates ``t1_viol`` / ``t1_inf`` in place; returns the updated merged
+    fields (host-CPU-backed once this tier fires).
+    """
+    from .ipm import solve_qcqp_polished
+    pos_mv = _sel_positions(a_mask)["max_violation"]
+    for t2_iters in (30, 120):
+        need2 = t1_viol >= strict_gate
+        if not need2.any():
+            break
+        sub = np.nonzero(need2)[0]
+        n2 = int(sub.size)
+        # Bucketed like tier 1 (a fresh jit per exact subset size would
+        # be a 5-30 min remote compile each); pad by repeating the last
+        # row -- duplicate rows solve to identical values, so the
+        # duplicate scatter writes below cannot disagree.
+        nb2 = _bucket(n2, 1)
+        sub_pad = np.concatenate([sub, np.full(nb2 - n2, sub[-1],
+                                               dtype=sub.dtype)])
+        gidx = idx[sub_pad]
+        f64 = jnp.float64
+
+        def _build_tier2(n_it=t2_iters):
+            def run(d1, d2, d3, d4, gi, m_list):
+                pol64 = jax.vmap(
+                    lambda a1, a2, a3, a4: solve_qcqp_polished(
+                        structure, a1, a2, a3, a4,
+                        ipm_config=IPMConfig(n_iters=n_it)))(
+                    d1, d2, d3, d4)
+                # Prefer the f64 interior-point iterate whenever it is
+                # strictly feasible (it is the near-OPTIMAL point --
+                # Mosek returns the optimizer, not a repaired point,
+                # qcqp_impl.h:777-786); otherwise best-by-violation so
+                # solution rows stay consistent with the np.minimum
+                # verdict bookkeeping below.
+                keep = ((pol64.max_violation < strict_gate) |
+                        (pol64.max_violation < m_list[pos_mv][gi]))
+
+                def _take(new, old):
+                    k = keep.reshape(keep.shape + (1,) * (new.ndim - 1))
+                    return jnp.where(k, new.astype(old.dtype), old)
+
+                p_sel = [pf for m, pf in zip(a_mask, pol64) if m]
+                merged2 = [(mf if pf is None else
+                            mf.at[gi].set(_take(pf, mf[gi])))
+                           for mf, pf in zip(m_list, p_sel)]
+                return pol64.max_violation, pol64.infeasible, merged2
+            return run
+
+        f2 = _cached_jit(
+            ("tier2", structure, nb2, t2_iters, a_mask, a_dtypes,
+             strict_gate), _build_tier2)
+        # Host-CPU device: tier-2 is the Mosek analogue -- an f64 CPU
+        # solve for the handful of rows the f32 chip tiers cannot
+        # settle.  (f64 on the TPU itself is software-emulated; the
+        # 8-row program's compile was observed >45 min without
+        # completing.)  The merge scatter runs on CPU too and the
+        # merged fields come back as host-backed arrays -- correct
+        # everywhere, and tier-1.5 makes this path rare.
+        with jax.enable_x64(True), \
+             jax.default_device(jax.devices("cpu")[0]):
+            gidx_dev = jnp.asarray(gidx)
+            v64, i64, merged_fields = f2(
+                jnp.asarray(np.asarray(d_fixed), f64)[gidx_dev],
+                jnp.asarray(np.asarray(times), f64)[gidx_dev],
+                jnp.asarray(np.asarray(waypoints), f64)[gidx_dev],
+                jnp.asarray(np.asarray(radii), f64)[gidx_dev],
+                gidx_dev, [jnp.asarray(np.asarray(mf))
+                           for mf in merged_fields])
+        v64, i64 = jax.device_get((v64, i64))              # ONE sync
+        t1_viol[sub] = np.minimum(t1_viol[sub], np.asarray(v64)[:n2])
+        if tier_mark is not None:
+            tier_mark[sub] = 4
+        # The f64 certificate REPLACES the accumulated f32 one for
+        # every row this stage re-examined: only the f64 IPM may
+        # assert INFEASIBLE on escalated residue rows -- an OR would
+        # let a tier-1 f32 Farkas false-fire survive into a
+        # determinate false-INFEASIBLE verdict (advisor r04 #1).
+        t1_inf[sub] = np.asarray(i64)[:n2]
+    return merged_fields
 
 
 def solve_qcqp_auto(structure: ProblemStructure,
@@ -207,7 +422,8 @@ def solve_qcqp_auto(structure: ProblemStructure,
     n_esc = int(idx.size)
     if n_esc == 0:
         return AutoResult(solution=a, verdict=verdict,
-                          escalated=escalated, n_escalated=0)
+                          escalated=escalated, n_escalated=0,
+                          tier=np.zeros(bsz, np.int8))
 
     # Fixed-shape escalation batch: pad the gathered indices to a bucketed
     # size by repeating the last failure (valid data; extra rows discarded).
@@ -262,138 +478,28 @@ def solve_qcqp_auto(structure: ProblemStructure,
     # f64 rows IPM (ipm.solve_qcqp_polished, the parity study's
     # ground-truth recipe) issues the final verdict for all of them --
     # Mosek's everything-in-doubles semantics (qcqp_impl.h:709-788).
-    # Requires jax_enable_x64; without it the tier-1 verdict stands
-    # (conservative: never false-feasible).
+    # Tier-2 enables x64 itself in a scoped context on the host CPU
+    # device (see _X64_NOTE); only tier2_f64=False keeps the tier-1
+    # verdict (conservative: never false-feasible).
     t1_viol, t1_inf = jax.device_get((polished.max_violation,
                                       polished.infeasible))   # ONE sync
     t1_viol = np.asarray(t1_viol)[:n_esc].copy()
     t1_inf = np.asarray(t1_inf)[:n_esc].copy()
 
-    # Tier 1.5: f32 RESTART chain on the residue.  The rows tier-1 leaves
-    # above the strict gate are not f32-unresolvable (the round-3
-    # assumption): a restarted endgame -- fresh factors, re-centered warm
-    # duals, a different iteration path -- lands them (measured: 7/7
-    # bench-distribution residue rows for EVERY restart variant tried,
-    # benchmarks/residue_probe.py).  Two restarts with DIFFERENT rounding
-    # paths (single-direction + extra snaps, then Mehrotra corrector),
-    # each warm-started from the CURRENT merged iterate and firing only
-    # on what remains, push the f64 tier's firing rate to ~zero on
-    # generous corridors -- its (host CPU) cost vanishes from the steady
-    # state.
-    fields_idx = QCQPSolution._fields
-    sel_fields = [i for i, m in enumerate(a_mask) if m]
-    pos_df = sel_fields.index(fields_idx.index("d_free"))
-    pos_db = sel_fields.index(fields_idx.index("dual_ball"))
-    pos_dh = sel_fields.index(fields_idx.index("dual_half"))
-    # Corrector first: it resolved the full residue ALONE on the bench
-    # distribution (residue_probe), so the second (single-direction)
-    # restart's dispatch round trip is usually never paid.
-    restart_cfgs = (
-        IPMConfig(n_iters=10, snap_iters=4, sigma_min=0.3,
-                  corrector=True),
-        IPMConfig(n_iters=10, snap_iters=6, sigma_min=0.3,
-                  corrector=False),
-    )
-    for ipm15 in restart_cfgs:
-        need15 = (t1_viol >= strict_gate) & ~t1_inf
-        if not need15.any():
-            break
-        sub15 = np.nonzero(need15)[0]
-        n15 = int(sub15.size)
-        nb15 = _bucket(n15, tier1_block)
-        sub15_pad = np.concatenate(
-            [sub15, np.full(nb15 - n15, sub15[-1], dtype=sub15.dtype)])
-        gidx15 = idx[sub15_pad]
-
-        def _build_tier15(cfg=ipm15):
-            def run(df, t, w, r, gi, m_list):
-                pol15 = ipm_lanes.solve_qcqp_ipm_lanes(
-                    structure, df[gi], t[gi], w[gi], r[gi], config=cfg,
-                    x0=m_list[pos_df][gi], lam0_ball=m_list[pos_db][gi],
-                    lam0_half=m_list[pos_dh][gi],
-                    scenario_block=tier1_block, interpret=interpret)
-                p_sel = [pf for m, pf in zip(a_mask, pol15) if m]
-                merged15 = [mf.at[gi].set(pf.astype(mf.dtype))
-                            for mf, pf in zip(m_list, p_sel)]
-                return pol15.max_violation, pol15.infeasible, merged15
-            return run
-
-        f15 = _cached_jit(
-            ("tier15", structure, ipm15, tier1_block, interpret, nb15,
-             a_mask, a_dtypes),
-            _build_tier15)
-        with jax.enable_x64(False):       # see _X64_NOTE
-            v15, i15, merged_fields = f15(
-                d_fixed32, times32, waypoints32, radii32,
-                jnp.asarray(gidx15), merged_fields)
-        v15, i15 = jax.device_get((v15, i15))                 # ONE sync
-        t1_viol[sub15] = np.minimum(t1_viol[sub15],
-                                    np.asarray(v15)[:n15])
-        t1_inf[sub15] = t1_inf[sub15] | np.asarray(i15)[:n15]
-
-    # Two-stage like the parity study's escalated ground truth: 30 f64
-    # iterations resolve the bulk; rows still above the strict gate after
-    # that get a 4x budget -- INCLUDING rows the 30-iter pass certified
-    # infeasible: a warm f64 certificate can false-fire exactly where a
-    # longer run exhibits a feasible point (measured: 41 conservative
-    # gate misses at r<0.1 in the 4096-study were stage-2 skips), and
-    # feasibility-by-exhibition always outranks a certificate -- the
-    # same precedence the ground truth applies.
+    # Tier 1.5 (f32 restart chain) + tier 2 (host-CPU f64 rows IPM):
+    # shared residue-tier helpers -- see _run_tier15_chain /
+    # _run_tier2_f64 for the measured rationale.  Both mutate
+    # t1_viol/t1_inf in place and return the updated merged fields.
+    tier_esc = np.ones(n_esc, np.int8)
+    merged_fields = _run_tier15_chain(
+        structure, d_fixed32, times32, waypoints32, radii32, idx,
+        t1_viol, t1_inf, merged_fields, a_mask, a_dtypes, tier1_block,
+        strict_gate, interpret, tier_mark=tier_esc)
     if tier2_f64:
-        from .ipm import solve_qcqp_polished
-        for t2_iters in (30, 120):
-            need2 = t1_viol >= strict_gate
-            if not need2.any():
-                break
-            sub = np.nonzero(need2)[0]
-            n2 = int(sub.size)
-            # Bucketed like tier 1 (a fresh jit per exact subset size
-            # would be a 5-30 min remote compile each); pad by repeating
-            # the last row -- duplicate rows solve to identical values,
-            # so the duplicate scatter writes below cannot disagree.
-            nb2 = _bucket(n2, 1)
-            sub_pad = np.concatenate([sub, np.full(nb2 - n2, sub[-1],
-                                                   dtype=sub.dtype)])
-            gidx = idx[sub_pad]
-            f64 = jnp.float64
-
-            def _build_tier2(n_it=t2_iters):
-                def run(d1, d2, d3, d4, gi, m_list):
-                    pol64 = jax.vmap(
-                        lambda a1, a2, a3, a4: solve_qcqp_polished(
-                            structure, a1, a2, a3, a4,
-                            ipm_config=IPMConfig(n_iters=n_it)))(
-                        d1, d2, d3, d4)
-                    p_sel = [pf for m, pf in zip(a_mask, pol64) if m]
-                    merged2 = [(mf if pf is None else
-                                mf.at[gi].set(pf.astype(mf.dtype)))
-                               for mf, pf in zip(m_list, p_sel)]
-                    return pol64.max_violation, pol64.infeasible, merged2
-                return run
-
-            f2 = _cached_jit(
-                ("tier2", structure, nb2, t2_iters, a_mask, a_dtypes),
-                _build_tier2)
-            # Host-CPU device: tier-2 is the Mosek analogue -- an f64 CPU
-            # solve for the handful of rows the f32 chip tiers cannot
-            # settle.  (f64 on the TPU itself is software-emulated; the
-            # 8-row program's compile was observed >45 min without
-            # completing.)  The merge scatter runs on CPU too and the
-            # merged fields come back as host-backed arrays -- correct
-            # everywhere, and tier-1.5 makes this path rare.
-            with jax.enable_x64(True), \
-                 jax.default_device(jax.devices("cpu")[0]):
-                gidx_dev = jnp.asarray(gidx)
-                v64, i64, merged_fields = f2(
-                    jnp.asarray(np.asarray(d_fixed), f64)[gidx_dev],
-                    jnp.asarray(np.asarray(times), f64)[gidx_dev],
-                    jnp.asarray(np.asarray(waypoints), f64)[gidx_dev],
-                    jnp.asarray(np.asarray(radii), f64)[gidx_dev],
-                    gidx_dev, [jnp.asarray(np.asarray(mf))
-                               for mf in merged_fields])
-            v64, i64 = jax.device_get((v64, i64))              # ONE sync
-            t1_viol[sub] = np.minimum(t1_viol[sub], np.asarray(v64)[:n2])
-            t1_inf[sub] = t1_inf[sub] | np.asarray(i64)[:n2]
+        merged_fields = _run_tier2_f64(
+            structure, d_fixed, times, waypoints, radii, idx,
+            t1_viol, t1_inf, merged_fields, a_mask, a_dtypes,
+            strict_gate, tier_mark=tier_esc)
 
     it = iter(merged_fields)
     merged = QCQPSolution(*(next(it) if m else af
@@ -403,8 +509,10 @@ def solve_qcqp_auto(structure: ProblemStructure,
                      np.where(t1_inf, INFEASIBLE, UNDETERMINED)).astype(
         np.int8)
     verdict[idx] = v_esc
+    tier = np.zeros(bsz, np.int8)
+    tier[idx] = tier_esc
     return AutoResult(solution=merged, verdict=verdict,
-                      escalated=escalated, n_escalated=n_esc)
+                      escalated=escalated, n_escalated=n_esc, tier=tier)
 
 
 def solve_qcqp_strict(structure: ProblemStructure,
@@ -451,9 +559,10 @@ def solve_qcqp_strict_sharded(structure: ProblemStructure,
                               ipm_config: Optional[IPMConfig] = None,
                               gate: float = 1e-4,
                               strict_gate: float = 1e-4,
-                              tier0_snap: int = 3,
+                              tier0_snap: int = 2,
                               scenario_block: int = 4,
                               tier1_block: Optional[int] = None,
+                              tier2_f64: bool = True,
                               axis_name: Optional[str] = None,
                               interpret=None):
     """The strict verdict router under a device mesh (round-3 VERDICT
@@ -471,7 +580,19 @@ def solve_qcqp_strict_sharded(structure: ProblemStructure,
         gather/scatter cross shards via XLA collectives, the IPM solve is
         shard_mapped over the same mesh, and the strict-feasibility count
         is reduced ON-DEVICE -- the returned ``n_strict`` scalar is the
-        psum'd verdict count, replicated on every device.
+        psum'd verdict count, replicated on every device;
+      * the residue tiers run like the single-process router's -- tier-1.5
+        f32 restarts shard_mapped over the mesh (bucket sizes quantized to
+        ``tier1_block * n_devices``), tier-2 f64 on the host CPU for this
+        process's addressable residue -- so the mesh path ends with the
+        SAME determinate verdict set as ``solve_qcqp_strict``
+        (qcqp_impl.h:715-770: a definitive status regardless of
+        deployment shape).
+
+    ``tier0_snap`` defaults to 2, the value the single-process strict
+    entry measured as the round-4 sweep winner (the 3rd sweep costs more
+    than the escalations it prevents once the restart chain recovers the
+    tail) -- the two entry points share the choice deliberately.
 
     Returns (AutoResult, n_strict_device) where n_strict_device counts
     ``max_violation < strict_gate`` over the FULL merged batch on-device.
@@ -491,6 +612,19 @@ def solve_qcqp_strict_sharded(structure: ProblemStructure,
     if tier1_block is None:
         tier1_block = scenario_block
 
+    # The f32 chip tiers must see float32 regardless of the caller's
+    # precision: jax.enable_x64(False) does NOT downcast already-committed
+    # f64 jax Arrays, and an f64-traced shard_mapped pallas_call hits the
+    # Mosaic i64/f64 legalization failures (_X64_NOTE).  Tier-2 solves the
+    # caller's ORIGINAL data, like the single-process router.
+    f32 = jnp.float32
+    d_fixed32 = jnp.asarray(d_fixed, f32)
+    times32 = jnp.asarray(times, f32)
+    waypoints32 = jnp.asarray(waypoints, f32)
+    radii32 = jnp.asarray(radii, f32)
+    warmstart32 = (None if warmstart_values is None
+                   else jnp.asarray(warmstart_values, f32))
+
     has_ws = warmstart_values is not None
     n_in = 5 if has_ws else 4
     ipm0 = IPMConfig(n_iters=0, snap_iters=tier0_snap, sigma_min=0.3,
@@ -509,8 +643,8 @@ def solve_qcqp_strict_sharded(structure: ProblemStructure,
     f0 = _cached_jit(("tier0sh", structure, mesh, admm_config, ipm0,
                       scenario_block, interpret, has_ws), _build_tier0)
     with jax.enable_x64(False):           # see _X64_NOTE
-        a = (f0(d_fixed, times, waypoints, radii, warmstart_values)
-             if has_ws else f0(d_fixed, times, waypoints, radii))
+        a = (f0(d_fixed32, times32, waypoints32, radii32, warmstart32)
+             if has_ws else f0(d_fixed32, times32, waypoints32, radii32))
 
     a_viol = np.asarray(jax.device_get(a.max_violation))
     gate_ok = a_viol < gate
@@ -522,7 +656,8 @@ def solve_qcqp_strict_sharded(structure: ProblemStructure,
         mv = a.max_violation
         n_strict = jnp.sum((mv < strict_gate).astype(jnp.float32))
         return (AutoResult(solution=a, verdict=verdict,
-                           escalated=escalated, n_escalated=0), n_strict)
+                           escalated=escalated, n_escalated=0,
+                           tier=np.zeros(len(gate_ok), np.int8)), n_strict)
 
     # Bucket to a multiple of (tier1_block * n_devices) so the shard_mapped
     # bucket divides the mesh evenly.
@@ -564,15 +699,33 @@ def solve_qcqp_strict_sharded(structure: ProblemStructure,
                       interpret, nb, a_mask, a_dtypes), _build_tier1)
     with jax.enable_x64(False):           # see _X64_NOTE
         polished, merged_fields, n_strict = f1(
-            jnp.asarray(d_fixed), jnp.asarray(times),
-            jnp.asarray(waypoints), jnp.asarray(radii), a.d_free,
+            d_fixed32, times32, waypoints32, radii32, a.d_free,
             a.dual_ball, a.dual_half, jnp.asarray(idx_pad),
             jnp.asarray(src), a_fields)
 
     t1_viol, t1_inf = jax.device_get((polished.max_violation,
                                       polished.infeasible))
-    t1_viol = np.asarray(t1_viol)[:n_esc]
-    t1_inf = np.asarray(t1_inf)[:n_esc]
+    t1_viol = np.asarray(t1_viol)[:n_esc].copy()
+    t1_inf = np.asarray(t1_inf)[:n_esc].copy()
+
+    # Residue tiers (shared helpers; same semantics as the single-process
+    # router): tier-1.5 restarts shard_mapped over the mesh, tier-2 f64
+    # on the host CPU.  Both mutate t1_viol/t1_inf in place.
+    tier_esc = np.ones(n_esc, np.int8)
+    merged_fields = _run_tier15_chain(
+        structure, d_fixed32, times32, waypoints32, radii32, idx,
+        t1_viol, t1_inf, merged_fields, a_mask, a_dtypes, tier1_block,
+        strict_gate, interpret, mesh=mesh, shard_spec=shard_sp, p_sh=p_sh,
+        tier_mark=tier_esc)
+    tier2_fired = False
+    if tier2_f64:
+        need_before = bool((t1_viol >= strict_gate).any())
+        merged_fields = _run_tier2_f64(
+            structure, d_fixed, times, waypoints, radii, idx,
+            t1_viol, t1_inf, merged_fields, a_mask, a_dtypes,
+            strict_gate, tier_mark=tier_esc)
+        tier2_fired = need_before
+
     it = iter(merged_fields)
     merged = QCQPSolution(*(next(it) if m else af
                             for m, af in zip(a_mask, a)))
@@ -580,5 +733,27 @@ def solve_qcqp_strict_sharded(structure: ProblemStructure,
                      np.where(t1_inf, INFEASIBLE, UNDETERMINED)).astype(
         np.int8)
     verdict[idx] = v_esc
+
+    # n_strict over the FINAL merged batch, reduced on-device and
+    # replicated via the mesh.  Tier-1's in-program count is stale once a
+    # residue tier modified rows; tier-2 additionally leaves the merged
+    # fields host-CPU-backed, so re-shard max_violation (a (B,) array --
+    # cheap) before counting.
+    if tier2_fired or not np.array_equal(
+            np.asarray(t1_viol),
+            np.asarray(jax.device_get(polished.max_violation))[:n_esc]):
+        def _build_count():
+            return lambda mv: jnp.sum((mv < strict_gate).astype(
+                jnp.float32))
+        f_cnt = _cached_jit(("countsh", mesh, strict_gate), _build_count)
+        pos_mv = _sel_positions(a_mask)["max_violation"]
+        mv_dev = jax.device_put(
+            np.asarray(jax.device_get(merged_fields[pos_mv]), np.float32),
+            shard_sp)
+        with jax.enable_x64(False):
+            n_strict = f_cnt(mv_dev)
+    tier = np.zeros(len(gate_ok), np.int8)
+    tier[idx] = tier_esc
     return (AutoResult(solution=merged, verdict=verdict,
-                       escalated=escalated, n_escalated=n_esc), n_strict)
+                       escalated=escalated, n_escalated=n_esc, tier=tier),
+            n_strict)

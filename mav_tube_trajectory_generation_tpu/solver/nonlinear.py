@@ -127,11 +127,18 @@ class NonlinearParameters:
     use_hard_bounds: bool = True
     min_bound: Optional[Tuple[float, ...]] = None
     max_bound: Optional[Tuple[float, ...]] = None
-    # L-BFGS linesearch ("zoom" | "backtracking"; see _lbfgs_minimize).
-    # Backtracking stores the step-start gradient and probes value-only:
-    # one reverse sweep through the inner solve per step instead of one
-    # per probe -- the hot choice for gradient-through-the-solve paths.
+    # L-BFGS linesearch ("zoom" | "backtracking" | "hybrid"; see
+    # _lbfgs_minimize).  Backtracking stores the step-start gradient and
+    # probes value-only: one reverse sweep through the inner solve per
+    # step instead of one per probe -- the hot choice for gradient-
+    # through-the-solve paths, but it plateaus ~2.5% above zoom's final
+    # cost (measured, benchmarks/nonlinear_bench.py).  "hybrid" runs
+    # backtracking for all but ``hybrid_zoom_iters`` iterations, then a
+    # strong-Wolfe zoom endgame from the plateau -- backtracking's
+    # throughput with zoom's final cost.
     lbfgs_linesearch: str = "zoom"
+    # Zoom-endgame length for lbfgs_linesearch="hybrid".
+    hybrid_zoom_iters: int = 4
 
 
 class CostBreakdown(NamedTuple):
@@ -425,7 +432,7 @@ def _resolve_bounds(structure: ProblemStructure,
 # ---------------------------------------------------------------------------
 
 def _lbfgs_minimize(fn, x0, n_iters: int, project=None,
-                    linesearch: str = "zoom"):
+                    linesearch: str = "zoom", hybrid_zoom_iters: int = 4):
     """Fixed-iteration L-BFGS over a pytree.
 
     ``project`` (optional) maps the iterate back onto a feasible box after
@@ -434,36 +441,54 @@ def _lbfgs_minimize(fn, x0, n_iters: int, project=None,
     subsequent linesearch probe, stays inside the box).
 
     ``linesearch``: "zoom" (strong-Wolfe; several value+GRADIENT probes
-    per step -- each probe differentiates through the inner solve) or
+    per step -- each probe differentiates through the inner solve),
     "backtracking" (Armijo with the step-start gradient stored: ONE
     reverse sweep per step, probes are value-only forward solves --
-    measured ~3x cheaper per step on the gradient-through-the-solve
-    path at equal final cost, benchmarks/nonlinear_bench.py)."""
-    if linesearch == "backtracking":
+    measured ~3x cheaper per step on the gradient-through-the-solve path
+    but plateauing ~2.5% above zoom's final cost), or "hybrid"
+    (backtracking for ``n_iters - hybrid_zoom_iters`` steps, then a
+    strong-Wolfe zoom endgame from the plateau with fresh L-BFGS memory:
+    Armijo-only steps violate the curvature condition, so the memory that
+    produced the plateau is the wrong Hessian model to escape it --
+    benchmarks/nonlinear_bench.py)."""
+
+    def run(opt, x_init, length):
+        value_and_grad = optax.value_and_grad_from_state(fn)
+
+        def step(carry, _):
+            params, state = carry
+            value, grad = value_and_grad(params, state=state)
+            updates, state = opt.update(grad, state, params, value=value,
+                                        grad=grad, value_fn=fn)
+            params = optax.apply_updates(params, updates)
+            if project is not None:
+                params = project(params)
+            return (params, state), value
+
+        (x_fin, _), values = jax.lax.scan(step, (x_init, opt.init(x_init)),
+                                          None, length=length)
+        return x_fin, values
+
+    def backtracking_opt():
         # scale_by_lbfgs emits the +H g (ascent-sign) direction -- the zoom
         # linesearch negates internally, backtracking does not (verified on
         # a quadratic: without scale(-1) the chain ASCENDS).
         ls = optax.scale_by_backtracking_linesearch(
             max_backtracking_steps=12, store_grad=True)
-        opt = optax.chain(optax.scale_by_lbfgs(), optax.scale(-1.0), ls)
-    else:
-        opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(fn)
-
-    def step(carry, _):
-        params, state = carry
-        value, grad = value_and_grad(params, state=state)
-        updates, state = opt.update(grad, state, params, value=value,
-                                    grad=grad, value_fn=fn)
-        params = optax.apply_updates(params, updates)
-        if project is not None:
-            params = project(params)
-        return (params, state), value
+        return optax.chain(optax.scale_by_lbfgs(), optax.scale(-1.0), ls)
 
     x0 = x0 if project is None else project(x0)
-    (x_fin, _), values = jax.lax.scan(step, (x0, opt.init(x0)), None,
-                                      length=n_iters)
-    return x_fin, values
+    if linesearch == "backtracking":
+        return run(backtracking_opt(), x0, n_iters)
+    if linesearch == "hybrid":
+        n_zoom = min(hybrid_zoom_iters, n_iters)
+        n_bt = n_iters - n_zoom
+        if n_bt == 0:
+            return run(optax.lbfgs(), x0, n_iters)
+        x_mid, v_bt = run(backtracking_opt(), x0, n_bt)
+        x_fin, v_zoom = run(optax.lbfgs(), x_mid, n_zoom)
+        return x_fin, jnp.concatenate([v_bt, v_zoom], axis=0)
+    return run(optax.lbfgs(), x0, n_iters)
 
 
 def nelder_mead(fn, x0, n_iters: int, scale: float):
@@ -734,6 +759,7 @@ def optimize_time_gradient(structure: ProblemStructure,
         lambda th: fn(th) / c0, jnp.zeros_like(times_init),
         params.max_iterations if n_iters is None else n_iters,
         project=lambda th: jnp.clip(th, theta_lo, theta_hi),
-        linesearch=params.lbfgs_linesearch)
+        linesearch=params.lbfgs_linesearch,
+        hybrid_zoom_iters=params.hybrid_zoom_iters)
     theta = jnp.clip(theta, theta_lo, theta_hi)
     return times_init * jnp.exp(theta), values * c0

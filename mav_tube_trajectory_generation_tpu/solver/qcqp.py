@@ -1065,6 +1065,10 @@ def solve_qcqp_batch(structure: ProblemStructure,
     """
     if x0 is not None and warmstart_values is not None:
         raise ValueError("pass x0 or warmstart_values, not both")
+    if _return_pre and not config.use_pallas:
+        raise ValueError("_return_pre requires use_pallas=True (the "
+                         "reusable padded system only exists on the "
+                         "Pallas path)")
     if not config.use_pallas:
         if warmstart_values is not None:
             wv_d = jnp.asarray(warmstart_values,

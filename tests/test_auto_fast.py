@@ -112,6 +112,58 @@ def test_router_no_escalation_fastpath(small_batch):
     assert (res.verdict == auto.FEASIBLE).all()
 
 
+def test_tier2_f64_tiny_fast(small_batch):
+    """Tier-2 semantics on a 2-row host-CPU f64 residue (fast-tier signal
+    for the default-on production path, VERDICT r04 weak #6): exhibition
+    outranks a certificate, and the f64 certificate REPLACES the f32 one."""
+    free, df, times, waypoints, radii, values = small_batch
+    a = qcqp.solve_qcqp_batch(free, jnp.asarray(df), jnp.asarray(times),
+                              jnp.asarray(waypoints), jnp.asarray(radii),
+                              config=_ADMM,
+                              warmstart_values=jnp.asarray(values),
+                              scenario_block=4)
+    a_mask = tuple(af is not None for af in a)
+    a_fields = [jnp.asarray(af) for m, af in zip(a_mask, a) if m]
+    a_dtypes = tuple(af.dtype.name for af in a_fields)
+    # Row 2: tight (r=0.1) but FEASIBLE corridor; row 7: structurally
+    # infeasible.  Force both into tier-2 with a fabricated residue state:
+    # row 2 additionally carries a FALSE-FIRED f32 infeasibility
+    # certificate (the advisor-r04 scenario).
+    idx = np.array([2, 7])
+    t1_viol = np.array([1.0, 1.0], np.float32)
+    t1_inf = np.array([True, False])
+    merged = auto._run_tier2_f64(
+        free, jnp.asarray(df), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(radii), idx, t1_viol, t1_inf, a_fields, a_mask,
+        a_dtypes, 1e-4)
+    # The feasible row ends FEASIBLE by exhibition and the false f32
+    # certificate is gone (replaced by the f64 IPM's).
+    assert t1_viol[0] < 1e-4, t1_viol
+    assert not t1_inf[0], "false f32 certificate must not survive tier-2"
+    # The structurally infeasible row is certified by the f64 IPM.
+    assert t1_inf[1], (t1_viol, t1_inf)
+    # The merged solution row carries the f64 point (its violation).
+    pos_mv = auto._sel_positions(a_mask)["max_violation"]
+    assert float(np.asarray(merged[pos_mv])[2]) < 1e-4
+
+
+def test_strict_determinacy_contract(small_batch):
+    """With tier2_f64=True EVERY verdict is determinate (+1/-1, never 0)
+    -- the contract the strict entry ships and future throughput work must
+    not silently trade away (VERDICT r04 #8)."""
+    free, df, times, waypoints, radii, values = small_batch
+    res = auto.solve_qcqp_auto(
+        free, jnp.asarray(df), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(radii), admm_config=_ADMM, ipm_config=_IPM,
+        warmstart_values=jnp.asarray(values), gate=1e-4, strict_gate=1e-4,
+        tier2_f64=True)
+    assert (res.verdict != auto.UNDETERMINED).all(), res.verdict
+    v = np.asarray(res.solution.max_violation)
+    assert (v[res.verdict == auto.FEASIBLE] < 1e-4).all()
+    # The structurally infeasible row stays certified INFEASIBLE.
+    assert res.verdict[7] == auto.INFEASIBLE
+
+
 def test_tier_cache_structural_keying():
     """_cached_jit keys on structural content, not object identity: an
     equal-content rebuild hits the cache; the LRU stays bounded."""

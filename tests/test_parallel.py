@@ -344,14 +344,20 @@ def test_strict_router_sharded_matches_single():
     assert not res.escalated[:4].any() and not res.escalated[8:].any()
     # never false-feasible: every FEASIBLE verdict exhibits a point
     assert (v[res.verdict == auto.FEASIBLE] < 1e-4).all()
+    # Determinacy parity with the single-process strict router (round-5):
+    # the mesh path runs the full residue chain (tier-1.5 restarts
+    # shard_mapped + host-CPU f64 tier-2), so no row may end UNDETERMINED.
+    assert (res.verdict != auto.UNDETERMINED).all(), res.verdict
 
     # Single-device router on the same inputs: verdict parity on the
     # non-escalated rows (escalated rows may differ only in how far the
-    # 6-iter IPM got; both remain conservative).
+    # 6-iter IPM got; both remain conservative), and determinacy parity
+    # everywhere (both run the full residue chain).
     res1 = auto.solve_qcqp_auto(
         free, jnp.asarray(df), jnp.asarray(tms), jnp.asarray(wp),
         jnp.asarray(radii), admm_config=admm, ipm_config=ipm1,
         warmstart_values=jnp.asarray(vals), gate=1e-4, strict_gate=1e-4,
-        scenario_block=2, tier0_snap=3, tier2_f64=False, tier1_block=1)
+        scenario_block=2, tier0_snap=2, tier2_f64=True, tier1_block=1)
     keep = ~res.escalated
     assert (res.verdict[keep] == res1.verdict[keep]).all()
+    assert (res1.verdict != auto.UNDETERMINED).all(), res1.verdict
