@@ -36,10 +36,14 @@ def main():
      values) = make_inputs(10, batch)
 
     for bg in variants:
+        # "ew" = round-5 in-kernel G^T assembly (gt never exists in HBM);
+        # other names select the Gram-band backend with XLA gt assembly.
+        kw = ({"gt_assembly": "kernel"} if bg == "ew"
+              else {"band_gram": bg})
         admm = qcqp.ADMMConfig(rho=0.005, n_stages=1, n_iters=48,
                                rho_tube_factor=0.125,
                                rho_half_factor=0.125, use_pallas=True,
-                               band_gram=bg)
+                               **kw)
 
         def full_solve(df_free_b, times_b, waypoints_b, radii_b, values_b):
             con = qcqp.solve_qcqp_batch(free, df_free_b, times_b,

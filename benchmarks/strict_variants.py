@@ -37,19 +37,28 @@ def main():
 
     scan = dict(sigma_min=0.3, corrector=False)
     variants = {
-        # name: (tier0_snap, tier1_block, tier1 IPMConfig)
-        "v0_base_it10s2_S4": (3, 4, IPMConfig(n_iters=10, **scan)),
-        "v1_it10s2_S8":      (3, 8, IPMConfig(n_iters=10, **scan)),
+        # name: (tier0_snap, tier1_block, tier1 IPMConfig, tier1_spec)
+        "v0_base_it10s2_S4": (3, 4, IPMConfig(n_iters=10, **scan), 0),
+        "v1_it10s2_S8":      (3, 8, IPMConfig(n_iters=10, **scan), 0),
         "v2_pipe_it10s2_S8": (3, 8, IPMConfig(n_iters=10, pipelined=True,
-                                              **scan)),
-        "v3_it6s2_S8":       (3, 8, IPMConfig(n_iters=6, **scan)),
-        "v4_snap2_it10s2_S8": (2, 8, IPMConfig(n_iters=10, **scan)),
-        "v5_snap4_it10s2_S8": (4, 8, IPMConfig(n_iters=10, **scan)),
+                                              **scan), 0),
+        "v3_it6s2_S8":       (3, 8, IPMConfig(n_iters=6, **scan), 0),
+        "v4_snap2_it10s2_S8": (2, 8, IPMConfig(n_iters=10, **scan), 0),
+        "v5_snap4_it10s2_S8": (4, 8, IPMConfig(n_iters=10, **scan), 0),
         "v6_it8s3_S8":       (3, 8, IPMConfig(n_iters=8, snap_iters=3,
-                                              **scan)),
+                                              **scan), 0),
+        # Round-5: speculative in-program first restart on the worst slice
+        # of the tier-1 bucket (saves the ~25 ms/dispatch restart round
+        # trips), with cheaper tier-1 schedules whose quality loss the
+        # speculation + host chain recover.
+        "v7_snap2_spec64":   (2, 8, IPMConfig(n_iters=10, **scan), 64),
+        "v8_snap2_spec128":  (2, 8, IPMConfig(n_iters=10, **scan), 128),
+        "v9_it8s3_spec64":   (2, 8, IPMConfig(n_iters=8, snap_iters=3,
+                                              **scan), 64),
+        "v10_it6s2_spec128": (2, 8, IPMConfig(n_iters=6, **scan), 128),
     }
 
-    for name, (snap0, t1b, cfg) in variants.items():
+    for name, (snap0, t1b, cfg, spec) in variants.items():
         if only and name not in only:
             continue
         t_wall = time.perf_counter()
@@ -59,7 +68,7 @@ def main():
                 free, df_free, times, waypoints, radii,
                 warmstart_values=values, gate=1e-4, strict_gate=1e-4,
                 scenario_block=4, tier0_snap=snap0, tier2_f64=False,
-                tier1_block=t1b, ipm_config=cfg)
+                tier1_block=t1b, ipm_config=cfg, tier1_spec=spec)
 
         try:
             res = strict_once()             # compile + warm

@@ -169,6 +169,45 @@ def _sdot(a, b):
         for i in range(a.shape[0])], axis=0)
 
 
+def _expand_gt(e, w):
+    """In-VMEM G^T assembly from its rank-1 row factors:
+    ``gt[s, p*dw + d, m] = e[s, p, m] * w[s, d, m]``.
+
+    Every constraint row of G^T is an outer product ``ecp_row (x)
+    direction*scale`` (solver.qcqp._padded_gather_maps); materializing gt
+    in XLA costs an HBM write + read of the full (nfd, m_p) tensor PLUS a
+    ~5.2 ms/batch-6144 relayout copy that layout assignment pins on the
+    assembly fusion (docs/PERF.md round-4: no user-level control reaches
+    it).  Here the kernel receives the factors (~1/3 the HBM bytes) and
+    expands them in VMEM.
+
+    The sublane interleave (row p*dw+d) is built by ONE constant 0/1-matrix
+    MXU dot plus a Mosaic tile-repeat -- no jnp.repeat / reshape across the
+    sublane dim (Mosaic's inferReshape rejects those merges) and no
+    sublane gather:
+      e_rep = P @ e  with P[r, p] = (r // dw == p)    (MXU select)
+      w_rep = pltpu.repeat(w, nf, axis=0)             (row r is w[r %% dw])
+      gt    = e_rep * w_rep
+    """
+    s, nf, m_p = e.shape
+    dw = w.shape[1]
+    nfd = nf * dw
+    row_e = jax.lax.broadcasted_iota(jnp.int32, (nfd, nf), 0)
+    col_e = jax.lax.broadcasted_iota(jnp.int32, (nfd, nf), 1)
+    p_mat = jnp.where(row_e // dw == col_e, jnp.float32(1.0),
+                      jnp.float32(0.0))
+    outs = []
+    for i in range(s):
+        e_rep = jax.lax.dot(p_mat, e[i],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        # Tile-repeat [w; w; ...]: row r carries w[r % dw] -- exactly the
+        # interleave's d index.
+        w_rep = pltpu.repeat(w[i], nf, 0)
+        outs.append(e_rep * w_rep)
+    return jnp.stack(outs, axis=0)
+
+
 def _kernel_fused(rho_ref, winv_ref, gt_ref, b_ref, rb_ref, xq_ref,
                   x0_ref, z0_ref, u0_ref,
                   x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
@@ -238,6 +277,138 @@ def _kernel_fused_factored(rho_ref, sinv_ref, t_ref, tt_ref, gt_ref, b_ref,
                 x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
                 n_iters=n_iters, alpha=alpha, nb_p=nb_p, n_ball=n_ball,
                 init_z=init_z)
+
+
+def _kernel_fused_factored_ew(rho_ref, sinv_ref, t_ref, tt_ref, e_ref,
+                              w_ref, b_ref, rb_ref, xq_ref, x0_ref, z0_ref,
+                              u0_ref, x_out, z_out, zp_out, u_out, prim_out,
+                              dual_out, y_out, *, n_iters: int, alpha: float,
+                              nb_p: int, n_ball: int, init_z: bool):
+    """_kernel_fused_factored with the G^T ASSEMBLY fused in: the kernel
+    receives the rank-1 row factors (e (S, nf, m_p), w (S, dw, m_p)) and
+    expands gt in VMEM (_expand_gt) -- the (S, nfd, m_p) tensor never
+    exists in HBM, killing its write+read traffic AND the XLA assembly
+    relayout copy (docs/PERF.md round-4 deferred lever)."""
+    gt = _expand_gt(e_ref[:], w_ref[:])   # (S, nfd, m_p) in VMEM
+    sinv = sinv_ref[:]
+    t = t_ref[:]
+    tt = tt_ref[:]
+    m_blk = sinv.shape[1]
+    bsz = sinv.shape[-1]
+    y_p = []
+    for i in range(m_blk):
+        r_i = gt[:, i * bsz:(i + 1) * bsz, :]
+        if i:
+            r_i = r_i - _sdot(t[:, i - 1], y_p[i - 1])
+        y_p.append(r_i)
+    z_p = [_sdot(sinv[:, i], y_p[i]) for i in range(m_blk)]
+    x_p = [None] * m_blk
+    x_p[m_blk - 1] = z_p[m_blk - 1]
+    for i in range(m_blk - 2, -1, -1):
+        x_p[i] = z_p[i] - _sdot(tt[:, i], x_p[i + 1])
+    m1 = jnp.concatenate(x_p, axis=1)     # (S, nfd, m_p)
+    _stage_core(rho_ref[:], m1, gt, b_ref[:], rb_ref[:], xq_ref[:],
+                x0_ref, z0_ref, u0_ref,
+                x_out, z_out, zp_out, u_out, prim_out, dual_out, y_out,
+                n_iters=n_iters, alpha=alpha, nb_p=nb_p, n_ball=n_ball,
+                init_z=init_z)
+
+
+def admm_stage_fused_factored_ew(rho, sinv, t, tt, e, w, b, rb, xq, x0,
+                                 z0=None, u0=None, *, n_iters: int,
+                                 alpha: float, nb_p: int, n_ball: int = -1,
+                                 init_z: bool = True, interpret=None):
+    """admm_stage_fused_factored from G^T row factors (e, w) instead of the
+    materialized gt (see _kernel_fused_factored_ew)."""
+    return _admm_stage_fused_factored_ew_jit(
+        rho, sinv, t, tt, e, w, b, rb, xq, x0, z0, u0, n_iters=n_iters,
+        alpha=alpha, nb_p=nb_p, n_ball=n_ball, init_z=init_z,
+        interpret=_resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "alpha", "nb_p",
+                                             "n_ball", "init_z", "interpret"))
+def _admm_stage_fused_factored_ew_jit(rho, sinv, t, tt, e, w, b, rb, xq, x0,
+                                      z0=None, u0=None, *, n_iters: int,
+                                      alpha: float, nb_p: int,
+                                      n_ball: int = -1, init_z: bool = True,
+                                      interpret: bool = False):
+    s, nf, m_p = e.shape
+    nfd = nf * w.shape[1]
+    if n_ball < 0:
+        n_ball = nb_p
+    if z0 is None:
+        z0 = jnp.zeros((s, 1, m_p), jnp.float32)
+        u0 = jnp.zeros((s, 1, m_p), jnp.float32)
+    kernel = functools.partial(_kernel_fused_factored_ew, n_iters=n_iters,
+                               alpha=alpha, nb_p=nb_p, n_ball=n_ball,
+                               init_z=init_z)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, nfd, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1, m_p), jnp.float32),
+        ),
+        in_specs=[vmem] * 12,
+        out_specs=(vmem,) * 7,
+        interpret=interpret,
+    )(rho, sinv, t, tt, e, w, b, rb, xq, x0, z0, u0)
+
+
+def _kernel_gram_band_factors_ew(e_ref, w_ref, pb_d_ref, pb_u_ref, rho_ref,
+                                 db_out, ub_out, *, blk: int, sigma: float):
+    """_kernel_gram_band_factors with the G^T assembly fused in (rank-1 row
+    factors in, assembled KKT band out; gt lives only in VMEM)."""
+    gt = _expand_gt(e_ref[:], w_ref[:])   # (S, nfd, m_p) in VMEM
+    rho = rho_ref[:]
+    s, nfd, _ = gt.shape
+    m_blk = nfd // blk
+    g = _gram_pair(gt, gt)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, blk, blk), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, blk, blk), 2)
+    eye_b = jnp.where(row == col, jnp.float32(sigma), jnp.float32(0.0))
+    for i in range(m_blk):
+        gd_i = g[:, i * blk:(i + 1) * blk, i * blk:(i + 1) * blk]
+        db_out[:, i, :, :] = pb_d_ref[:, i, :, :] + rho * gd_i + eye_b
+    for i in range(m_blk - 1):
+        gu_i = g[:, i * blk:(i + 1) * blk, (i + 1) * blk:(i + 2) * blk]
+        ub_out[:, i, :, :] = pb_u_ref[:, i, :, :] + rho * gu_i
+
+
+def gram_band_factors_ew(e, w, pb_d, pb_u, rho, *, blk: int, sigma: float,
+                         interpret=None):
+    """G^T row factors + kron'd objective band + rho -> assembled KKT band
+    (db, ub) with gt existing only in VMEM."""
+    return _gram_band_factors_ew_jit(e, w, pb_d, pb_u, rho, blk=blk,
+                                     sigma=sigma,
+                                     interpret=_resolve_interpret(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "sigma", "interpret"))
+def _gram_band_factors_ew_jit(e, w, pb_d, pb_u, rho, *, blk: int,
+                              sigma: float, interpret: bool):
+    s, nf, m_p = e.shape
+    nfd = nf * w.shape[1]
+    m_blk = nfd // blk
+    kernel = functools.partial(_kernel_gram_band_factors_ew, blk=blk,
+                               sigma=sigma)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, m_blk, blk, blk), jnp.float32),
+            jax.ShapeDtypeStruct((s, m_blk - 1, blk, blk), jnp.float32),
+        ),
+        in_specs=[vmem] * 5,
+        out_specs=(vmem,) * 2,
+        interpret=interpret,
+    )(e, w, pb_d, pb_u, rho)
 
 
 def _kernel_gram_band_factors(gt_ref, pb_d_ref, pb_u_ref, rho_ref,

@@ -332,6 +332,7 @@ def solve_qcqp_auto(structure: ProblemStructure,
                     tier2_f64: bool = True,
                     tier1_block: Optional[int] = None,
                     tier0_config: Optional[IPMConfig] = None,
+                    tier1_spec: int = 0,
                     interpret=None) -> AutoResult:
     """Batched tube-QCQP solve with Mosek-grade verdicts at every corridor
     width (ALL array args carry a leading batch axis).
@@ -348,6 +349,14 @@ def solve_qcqp_auto(structure: ProblemStructure,
     ``tier1_block``: scenario blocking for the tier-1 IPM kernels (defaults
     to ``scenario_block``) -- the escalated bucket is far smaller than the
     full batch, so a deeper interleave can pay there.
+
+    ``tier1_spec``: speculate the first tier-1.5 restart INSIDE the tier-1
+    jitted program on the worst ``tier1_spec`` rows of the bucket (by
+    violation, top_k).  The residue the restart chain would re-dispatch on
+    (~tens of rows) is almost surely inside the worst slice, so landing it
+    in-program skips the separate restart dispatches (~25 ms each over the
+    remote-device link, docs/PERF.md round-5 #1a); the host chain stays as
+    the backstop for anything the speculation misses.  0 disables.
 
     Returns an AutoResult; ``solution`` rows of escalated scenarios are the
     IPM's, everything else the ADMM's.
@@ -445,6 +454,14 @@ def solve_qcqp_auto(structure: ProblemStructure,
     # the tier-0 fields before leaving the program -- folding the merge in
     # here saves a second dispatch round trip (~28 ms/batch 6144 measured,
     # benchmarks/profile_strict.py).
+    spec_rows = min(int(tier1_spec), nb)
+    spec_cfg = IPMConfig(n_iters=10, snap_iters=4, sigma_min=0.3,
+                         corrector=True)   # == restart_cfgs[0]: it resolved
+    #                                        the full residue alone
+    #                                        (benchmarks/residue_probe.py)
+    fi_mv = QCQPSolution._fields.index("max_violation")
+    fi_inf = QCQPSolution._fields.index("infeasible")
+
     def _build_tier1():
         def run(df, t, w, r, x0_, lb, lh, ip, sr, a_list):
             pol = ipm_lanes.solve_qcqp_ipm_lanes(
@@ -452,6 +469,35 @@ def solve_qcqp_auto(structure: ProblemStructure,
                 config=ipm_config, x0=x0_[ip], lam0_ball=lb[ip],
                 lam0_half=lh[ip], scenario_block=tier1_block,
                 interpret=interpret)
+            if spec_rows:
+                # Speculative first restart on the worst slice, fused into
+                # this program: best-by-violation iterate merge, restart
+                # certificate replaces (chain semantics).  top_k indices
+                # are unique, so the scatters cannot collide.
+                viol1 = pol.max_violation
+                _, wi = jax.lax.top_k(viol1, spec_rows)
+                ip_w = ip[wi]
+                rs = ipm_lanes.solve_qcqp_ipm_lanes(
+                    structure, df[ip_w], t[ip_w], w[ip_w], r[ip_w],
+                    config=spec_cfg, x0=pol.d_free[wi],
+                    lam0_ball=pol.dual_ball[wi],
+                    lam0_half=pol.dual_half[wi],
+                    scenario_block=tier1_block, interpret=interpret)
+                keep = rs.max_violation < viol1[wi]
+
+                def _mix(new, old):
+                    k2 = keep.reshape(keep.shape + (1,) * (new.ndim - 1))
+                    return jnp.where(k2, new.astype(old.dtype), old)
+
+                fields = []
+                for fi, (pf, nf_) in enumerate(zip(pol, rs)):
+                    if pf is None:
+                        fields.append(None)
+                    elif fi == fi_inf:
+                        fields.append(pf.at[wi].set(nf_))
+                    else:
+                        fields.append(pf.at[wi].set(_mix(nf_, pf[wi])))
+                pol = QCQPSolution(*fields)
             pol_sel = [pf for m, pf in zip(a_mask, pol) if m]
             merged = [af.at[ip].set(pf[sr].astype(af.dtype))
                       for af, pf in zip(a_list, pol_sel)]
@@ -460,7 +506,7 @@ def solve_qcqp_auto(structure: ProblemStructure,
 
     f1 = _cached_jit(
         ("tier1m", structure, ipm_config, tier1_block, interpret, nb,
-         a_mask, a_dtypes),
+         a_mask, a_dtypes, spec_rows),
         _build_tier1)
     with jax.enable_x64(False):       # see _X64_NOTE
         polished, merged_fields = f1(
@@ -525,6 +571,7 @@ def solve_qcqp_strict(structure: ProblemStructure,
                       tier2_f64: bool = True,
                       tier1_block: Optional[int] = None,
                       ipm_config: Optional[IPMConfig] = None,
+                      tier1_spec: int = 64,
                       interpret=None) -> AutoResult:
     """Mosek-grade strict-feasibility solve at router throughput.
 
@@ -545,7 +592,7 @@ def solve_qcqp_strict(structure: ProblemStructure,
                            scenario_block=scenario_block,
                            tier0_snap=2, tier2_f64=tier2_f64,
                            tier1_block=tier1_block, ipm_config=ipm_config,
-                           interpret=interpret)
+                           tier1_spec=tier1_spec, interpret=interpret)
 
 def solve_qcqp_strict_sharded(structure: ProblemStructure,
                               d_fixed: jnp.ndarray,

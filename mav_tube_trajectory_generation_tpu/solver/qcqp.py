@@ -94,8 +94,21 @@ class ADMMConfig:
     # (kernel-standard) layout for all consumers -- the full Gram's HBM
     # round trip and the two relayout copies (~7 ms/batch 6144) disappear.
     band_gram: str = "xla"
+    # Where G^T itself is materialized: "xla" assembles the (nfd, m_p)
+    # tensor in XLA (pays its HBM write+read plus a ~5.2 ms/batch-6144
+    # relayout copy layout assignment pins on the assembly fusion);
+    # "kernel" ships only the rank-1 row FACTORS (e (nf, m_p), w (3, m_p),
+    # ~1/3 the bytes) and expands gt in VMEM inside the Pallas kernels
+    # (ops/admm_kernel._expand_gt) -- gt never exists in HBM.  Requires
+    # use_pallas + kkt_apply="factored" on the banded path; the Gram band
+    # then always comes from the fused ew kernel.
+    gt_assembly: str = "xla"
 
     def __post_init__(self):
+        if self.gt_assembly not in ("xla", "kernel"):
+            raise ValueError(
+                f"gt_assembly must be 'xla' or 'kernel', got "
+                f"{self.gt_assembly!r}")
         if self.band_gram not in ("xla", "pallas", "pallas_block",
                                   "pallas_db"):
             raise ValueError(
@@ -109,6 +122,13 @@ class ADMMConfig:
             raise ValueError(
                 f"kkt_inverse must be 'schur' or 'cholesky', got "
                 f"{self.kkt_inverse!r}")
+        if self.gt_assembly == "kernel" and (
+                not self.use_pallas or self.kkt_apply != "factored"
+                or self.kkt_inverse != "schur"):
+            raise ValueError(
+                "gt_assembly='kernel' requires use_pallas=True, "
+                "kkt_apply='factored' and kkt_inverse='schur' (the fused "
+                "banded Pallas path is the only gt consumer there)")
 
 
 class QCQPSolution(NamedTuple):
@@ -397,7 +417,8 @@ def _padded_constraint_system(structure: ProblemStructure,
                               layout: _PadLayout,
                               f_sphere: float = 1.0,
                               f_tube: float = 1.0,
-                              f_half: float = 1.0):
+                              f_half: float = 1.0,
+                              with_factors: bool = False):
     """Equilibrated constraint system assembled DIRECTLY in the Pallas
     kernel's padded component-plane layout.
 
@@ -492,10 +513,22 @@ def _padded_constraint_system(structure: ProblemStructure,
     # (Neutral variant, measured: pre-transposed operands -- e_selT
     # (n_free, m_p) x w_T (3, m_p) broadcast -- to dodge the 5 ms gt
     # relayout copy; 144.9 vs 143.7 ms, XLA re-derives the same layouts.)
-    e_sel = ecp_s.reshape(k * n, n_free)[ecp_idx]          # (m_p, n_free)
-    w_lane = dir_pool[dir_idx] * scl_pool[scl_idx][:, None]  # (m_p, 3)
-    gt = jnp.einsum('mp,md->pdm', e_sel, w_lane).reshape(nfd, layout.m_p)
-    gt = gt.astype(f32)
+    if with_factors:
+        # gt_assembly="kernel": emit only the rank-1 row factors; the
+        # Pallas kernels expand gt in VMEM (admm_kernel._expand_gt).  Pad
+        # lanes stay exactly zero because the SCALE pool's zero entry
+        # lives in w (scl_idx points at it), not in e.
+        e_selT = (ecp_s.reshape(k * n, n_free).T)[:, ecp_idx].astype(f32)
+        w_t = (dir_pool.T[:, dir_idx]
+               * scl_pool[scl_idx][None, :]).astype(f32)   # (3, m_p)
+        gt = None
+    else:
+        e_selT = w_t = None
+        e_sel = ecp_s.reshape(k * n, n_free)[ecp_idx]      # (m_p, n_free)
+        w_lane = dir_pool[dir_idx] * scl_pool[scl_idx][:, None]  # (m_p, 3)
+        gt = jnp.einsum('mp,md->pdm', e_sel,
+                        w_lane).reshape(nfd, layout.m_p)
+        gt = gt.astype(f32)
 
     # --- Offsets / radii (small tensors; same gather trick for b). ---------
     b_sph = (cp0[:k - 1, n - 1, :] - waypoints[1:k]) * sb_sph[:, None]
@@ -520,6 +553,8 @@ def _padded_constraint_system(structure: ProblemStructure,
                            * sb_tube).reshape(-1)]).astype(f32)
     sb = jnp.concatenate([sb_sph, sb_tube.reshape(-1)])
     sh = jnp.broadcast_to(sh_kj[..., None], (k, n_mid, 2)).reshape(-1)
+    if with_factors:
+        return gt, b_pad, rb, sb, sh, e_selT, w_t
     return gt, b_pad, rb, sb, sh
 
 
@@ -583,7 +618,7 @@ def _kkt_tridiag_block(structure: ProblemStructure):
 
 def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
                        q_flat, x_flat0, nfd, out_dtype, gtg=None,
-                       kkt_block=None, p_eq=None):
+                       kkt_block=None, p_eq=None, ew=None):
     """Staged ADMM with the inner iterations in the VMEM-resident kernel.
 
     ALL array arguments carry a leading scenario-block axis S: one kernel
@@ -609,14 +644,18 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
 
     f32 = jnp.float32
     nb_p, n_ball = layout.nb_p, layout.n_ball
-    s = gt.shape[0]
+    ew_mode = ew is not None
+    if ew_mode:
+        e_t, w_t = (a.astype(f32) for a in ew)   # (S, nf, m_p), (S, 3, m_p)
+    s = b_pad.shape[0]
     # Tail lanes are half-space rows; the projection masks them off the
     # ball path, so their radius entry is inert (set to 1).
     rb_pad = jnp.concatenate(
         [rb.astype(f32), jnp.ones((s, layout.tail), f32)],
         axis=-1)[:, None, :]                              # (S, 1, nb_p)
 
-    gt = gt.astype(f32)
+    if gt is not None:
+        gt = gt.astype(f32)
     x = x_flat0.astype(f32)[:, :, None]                   # (S, nfd, 1)
     z = u = None   # stage 0 initializes z/u from x inside the kernel
 
@@ -633,7 +672,10 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
     # -- 126.6 -> 139.0 ms, tiny (15, 512)@(512, 15) batched contractions
     # are MXU-latency-bound and their layouts cascade copies.)
     pallas_band = (banded_kkt and gtg is None
-                   and config.band_gram != "xla")
+                   and (config.band_gram != "xla" or ew_mode))
+    if ew_mode and not (banded_kkt and config.kkt_apply == "factored"):
+        raise ValueError("gt_assembly='kernel' needs the banded factored "
+                         "path (block-tridiagonal KKT + LDL^T factors)")
     if gtg is None and not pallas_band:
         gtg = gt @ jnp.swapaxes(gt, -1, -2)               # (S, nfd, nfd)
     if gtg is not None:
@@ -661,7 +703,7 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
         kron = lambda a: jnp.einsum('smab,cd->smacbd', a, eye_d).reshape(
             s, a.shape[1], blk, blk)
         pb_d, pb_u = kron(pe_d), kron(pe_u)
-        if pallas_band and config.band_gram == "pallas_db":
+        if pallas_band and (config.band_gram == "pallas_db" or ew_mode):
             gd = gu = None          # db/ub come from the fused kernel
         elif pallas_band:
             gd, gu = admm_kernel.gram_band(
@@ -686,7 +728,10 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
         if banded_kkt:
             rho_b = rho[:, None, :, :]                     # (S, 1, 1, 1)
             from . import banded
-            if gd is None:      # band_gram == "pallas_db"
+            if gd is None and ew_mode:
+                db, ub = admm_kernel.gram_band_factors_ew(
+                    e_t, w_t, pb_d, pb_u, rho, blk=blk, sigma=config.sigma)
+            elif gd is None:    # band_gram == "pallas_db"
                 db, ub = admm_kernel.gram_band_factors(
                     gt, pb_d, pb_u, rho, blk=blk, sigma=config.sigma)
             else:
@@ -705,7 +750,16 @@ def _run_stages_pallas(config, gt, b_pad, rb, layout, p_big,
             kkt = (p_big + rho * gtg
                    + config.sigma * jnp.eye(nfd, dtype=f32)).astype(f32)
             w_inv = spd_inv(kkt)                           # (S, nfd, nfd)
-        if factored:
+        if factored and ew_mode:
+            t_st = jnp.stack(t_fac[1:], axis=1)            # (S, m-1, b, b)
+            x, z, z_prev, u, prim, dualm, y = (
+                admm_kernel.admm_stage_fused_factored_ew(
+                    rho, jnp.stack(s_inv, axis=1), t_st,
+                    jnp.swapaxes(t_st, -1, -2), e_t, w_t, b_pad, rb_pad,
+                    xq, x, z, u, n_iters=config.n_iters,
+                    alpha=config.alpha, nb_p=nb_p, n_ball=n_ball,
+                    init_z=(stage == 0)))
+        elif factored:
             t_st = jnp.stack(t_fac[1:], axis=1)            # (S, m-1, b, b)
             x, z, z_prev, u, prim, dualm, y = (
                 admm_kernel.admm_stage_fused_factored(
@@ -759,6 +813,9 @@ class _PallasPre(NamedTuple):
     q_flat: jnp.ndarray       # (nfd,)
     x_flat0: jnp.ndarray      # (nfd,)
     d_scale: jnp.ndarray      # (n_free,)
+    # gt_assembly="kernel" only: G^T rank-1 row factors (gt is None then).
+    e_selT: Optional[jnp.ndarray] = None   # (n_free, m_p)
+    w_t: Optional[jnp.ndarray] = None      # (3, m_p)
 
 
 def _warmstart_position_cols(structure: ProblemStructure):
@@ -833,15 +890,21 @@ def _pallas_pre(structure: ProblemStructure, d_fixed, times, waypoints,
     p_eq, q_eq, d_scale, x_init = _objective_blocks(
         structure, d_fixed, times, config, x0, dtype,
         warmstart_positions=warmstart_positions)
-    gt, b_pad, rb, sb, sh = _padded_constraint_system(
+    ew_mode = config.gt_assembly == "kernel"
+    out = _padded_constraint_system(
         structure, times, d_fixed, waypoints, radii, d_scale, layout,
         config.rho_sphere_factor, config.rho_tube_factor,
-        config.rho_half_factor)
+        config.rho_half_factor, with_factors=ew_mode)
+    if ew_mode:
+        gt, b_pad, rb, sb, sh, e_selT, w_t = out
+    else:
+        gt, b_pad, rb, sb, sh = out
+        e_selT = w_t = None
     return _PallasPre(
         gt=gt, b_pad=b_pad, rb=rb, sb=sb, sh=sh,
         p_big=jnp.kron(p_eq, jnp.eye(dim, dtype=dtype)), p_eq=p_eq,
         q_flat=q_eq.reshape(-1), x_flat0=x_init.reshape(-1),
-        d_scale=d_scale)
+        d_scale=d_scale, e_selT=e_selT, w_t=w_t)
 
 
 def _pallas_post(structure: ProblemStructure, config: ADMMConfig,
@@ -925,12 +988,15 @@ def solve_qcqp(structure: ProblemStructure,
         pre = _pallas_pre(structure, d_fixed, times, waypoints, radii,
                           config, x0, layout,
                           warmstart_positions=warmstart_positions)
+        gt1 = None if pre.gt is None else pre.gt[None]
+        ew1 = (None if pre.e_selT is None
+               else (pre.e_selT[None], pre.w_t[None]))
         (x_fin, _, u_fin, y_fin, rho, prim_res, dual_res) = (
             jax.tree.map(lambda a: a[0], _run_stages_pallas(
-                config, pre.gt[None], pre.b_pad[None], pre.rb[None], layout,
+                config, gt1, pre.b_pad[None], pre.rb[None], layout,
                 pre.p_big[None], pre.q_flat[None], pre.x_flat0[None],
                 nfd, dtype, kkt_block=_kkt_tridiag_block(structure),
-                p_eq=pre.p_eq[None])))
+                p_eq=pre.p_eq[None], ew=ew1)))
         return _pallas_post(structure, config, d_fixed, times, pre,
                             x_fin, u_fin, y_fin, rho, prim_res, dual_res,
                             dtype)
@@ -1069,6 +1135,10 @@ def solve_qcqp_batch(structure: ProblemStructure,
         raise ValueError("_return_pre requires use_pallas=True (the "
                          "reusable padded system only exists on the "
                          "Pallas path)")
+    if _return_pre and config.gt_assembly == "kernel":
+        raise ValueError("_return_pre requires gt_assembly='xla': the "
+                         "lanes reuse path consumes the materialized "
+                         "pre.gt")
     if not config.use_pallas:
         if warmstart_values is not None:
             wv_d = jnp.asarray(warmstart_values,
@@ -1121,10 +1191,11 @@ def solve_qcqp_batch(structure: ProblemStructure,
             pre = jax.vmap(lambda a1, a2, a3, a4, a5: _pallas_pre(
                 structure, a1, a2, a3, a4, config, a5, layout))(
                 df, t, w, r, xx)
+        ew_b = (None if pre.e_selT is None else (pre.e_selT, pre.w_t))
         outs = _run_stages_pallas(
             config, pre.gt, pre.b_pad, pre.rb, layout, pre.p_big,
             pre.q_flat, pre.x_flat0, nfd, dtype, kkt_block=kkt_block,
-            p_eq=pre.p_eq)
+            p_eq=pre.p_eq, ew=ew_b)
         sol_b = jax.vmap(lambda dfi, ti, prei, x, u, y, rho, pr, du:
                          _pallas_post(structure, config, dfi, ti, prei,
                                       x, u, y, rho, pr, du, dtype))(
