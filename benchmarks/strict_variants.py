@@ -56,11 +56,35 @@ def main():
         "v9_it8s3_spec64":   (2, 8, IPMConfig(n_iters=8, snap_iters=3,
                                               **scan), 64),
         "v10_it6s2_spec128": (2, 8, IPMConfig(n_iters=6, **scan), 128),
+        # Round-5 second wave: shave tier-0 instead (1 snap sweep / shorter
+        # ADMM), letting the speculation + larger tier-1 bucket absorb the
+        # extra escalations.
+        "v11_snap1_spec128": (1, 8, IPMConfig(n_iters=10, **scan), 128),
+        "v12_admm40_spec64": (2, 8, IPMConfig(n_iters=10, **scan), 64,
+                              40),
+        "v13_admm32_spec128": (2, 8, IPMConfig(n_iters=10, **scan), 128,
+                               32),
+        # Round-5 third wave: the winning combination -- shorter ADMM
+        # (fewer escalations AND cheaper tier-0) x cheap it6 tier-1 whose
+        # tail the spec restart recovers.
+        "v14_admm40_it6_spec128": (2, 8, IPMConfig(n_iters=6, **scan), 128,
+                                   40),
+        "v15_admm32_it6_spec128": (2, 8, IPMConfig(n_iters=6, **scan), 128,
+                                   32),
+        "v16_admm40_it6_spec64": (2, 8, IPMConfig(n_iters=6, **scan), 64,
+                                  40),
     }
 
-    for name, (snap0, t1b, cfg, spec) in variants.items():
+    from mav_tube_trajectory_generation_tpu.solver.qcqp import ADMMConfig
+    for name, row in variants.items():
         if only and name not in only:
             continue
+        snap0, t1b, cfg, spec = row[:4]
+        admm_cfg = None
+        if len(row) > 4:
+            admm_cfg = ADMMConfig(rho=0.005, n_stages=1, n_iters=row[4],
+                                  rho_tube_factor=0.125,
+                                  rho_half_factor=0.125, use_pallas=True)
         t_wall = time.perf_counter()
 
         def strict_once():
@@ -68,7 +92,8 @@ def main():
                 free, df_free, times, waypoints, radii,
                 warmstart_values=values, gate=1e-4, strict_gate=1e-4,
                 scenario_block=4, tier0_snap=snap0, tier2_f64=False,
-                tier1_block=t1b, ipm_config=cfg, tier1_spec=spec)
+                tier1_block=t1b, ipm_config=cfg, tier1_spec=spec,
+                admm_config=admm_cfg)
 
         try:
             res = strict_once()             # compile + warm
@@ -78,10 +103,11 @@ def main():
             dtp = (time.perf_counter() - t0) / reps
             violp = np.asarray(res.solution.max_violation)
             n_strict = int(np.sum(violp < 1e-4))
+            tiers = np.bincount(res.tier, minlength=6).tolist()
             print(f"[{name:20s}] {dtp*1e3:7.1f} ms  "
                   f"{batch/dtp:8,.0f} solves/s  {n_strict}/{batch}<1e-4  "
                   f"p99 {float(np.percentile(violp, 99)):.1e}  "
-                  f"esc {res.n_escalated}  "
+                  f"esc {res.n_escalated}  tiers {tiers}  "
                   f"(wall {time.perf_counter()-t_wall:.0f}s)", flush=True)
         except Exception as e:              # noqa: BLE001
             print(f"[{name:20s}] FAILED {type(e).__name__}: "

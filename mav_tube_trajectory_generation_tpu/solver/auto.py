@@ -571,7 +571,7 @@ def solve_qcqp_strict(structure: ProblemStructure,
                       tier2_f64: bool = True,
                       tier1_block: Optional[int] = None,
                       ipm_config: Optional[IPMConfig] = None,
-                      tier1_spec: int = 64,
+                      tier1_spec: int = 128,
                       interpret=None) -> AutoResult:
     """Mosek-grade strict-feasibility solve at router throughput.
 
@@ -585,7 +585,18 @@ def solve_qcqp_strict(structure: ProblemStructure,
     are feasibility-by-exhibition at the 1e-4 strict gate -- the per-solve
     semantics of the reference's Mosek backend (qcqp_impl.h:709-788) with
     the polish cost paid ONLY by the scenarios that need it.
+
+    Default tier-1 schedule: it6s2 with a 128-row speculative in-program
+    restart (``tier1_spec``).  The round-5 sweep
+    (benchmarks/strict_variants.py v4/v7/v10): it10+spec0 12.8k, it10+
+    spec64 13.6k, it6+spec128 15.2k solves/s -- all at 6144/6144 < 1e-4,
+    p99 8.4e-5; the speculation recovers the short schedule's tail
+    in-program, so the separate restart dispatches (~25 ms each) never
+    fire on the bench distribution.  The tier-1.5/2 chain remains the
+    backstop for tighter regimes.
     """
+    if ipm_config is None:
+        ipm_config = IPMConfig(n_iters=6, sigma_min=0.3, corrector=False)
     return solve_qcqp_auto(structure, d_fixed, times, waypoints, radii,
                            warmstart_values=warmstart_values,
                            gate=1e-4, strict_gate=1e-4,
