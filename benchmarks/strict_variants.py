@@ -73,6 +73,11 @@ def main():
                                    32),
         "v16_admm40_it6_spec64": (2, 8, IPMConfig(n_iters=6, **scan), 64,
                                   40),
+        # Round-5 fourth wave: how short can tier-1 go before the
+        # speculation stops recovering the tail; deeper S-interleave.
+        "v17_it4s2_spec256": (2, 8, IPMConfig(n_iters=4, **scan), 256),
+        "v18_it5s2_spec128": (2, 8, IPMConfig(n_iters=5, **scan), 128),
+        "v19_it6s2_S16":     (2, 16, IPMConfig(n_iters=6, **scan), 128),
     }
 
     from mav_tube_trajectory_generation_tpu.solver.qcqp import ADMMConfig

@@ -53,9 +53,10 @@ class AutoResult(NamedTuple):
     escalated: np.ndarray         # (B,) bool: row was re-solved by the IPM
     n_escalated: int
     # (B,) int8 diagnostic: the LAST tier that re-ran each row (0 = tier-0
-    # gate pass, 1 = tier-1 IPM, 2/3 = tier-1.5 restart #1/#2, 4 = tier-2
-    # f64, 5 = cost polish).  For FEASIBLE escalated rows this is the tier
-    # that landed them (restarts only fire on still-failing rows).
+    # gate pass, 1 = tier-1 IPM -- including its fused speculative restart,
+    # 2/3 = tier-1.5 restart #1/#2, 4 = tier-2 f64).  For FEASIBLE
+    # escalated rows this is the tier that landed them (restarts only fire
+    # on still-failing rows).
     tier: Optional[np.ndarray] = None
 
 
