@@ -237,13 +237,73 @@ def _run_tier2_f64(structure, d_fixed, times, waypoints, radii, idx,
     (precision-unclipped) problem data -- Mosek's everything-in-doubles
     semantics (qcqp_impl.h:709-788).
 
+    After the two cold-ADMM-warm stages, rows still UNDETERMINED get two
+    RESTARTED f64 endgames (60 iterations each, warm-started from the
+    best f64 iterate, fresh factors) -- the parity ground truth's 3rd
+    escalation stage, mirrored here so the router's tier-2 cannot be
+    outrun by the study it is scored against (round-5: the restart stage
+    landed 43 rows the 120-iteration run left undetermined).
+
     Mutates ``t1_viol`` / ``t1_inf`` in place; returns the updated merged
     fields (host-CPU-backed once this tier fires).
     """
-    from .ipm import solve_qcqp_polished
-    pos_mv = _sel_positions(a_mask)["max_violation"]
-    for t2_iters in (30, 120):
-        need2 = t1_viol >= strict_gate
+    from .ipm import solve_qcqp_ipm, solve_qcqp_polished
+    pos = _sel_positions(a_mask)
+    pos_mv = pos["max_violation"]
+    f64 = jnp.float64
+    warm = {}           # local-escalation-row -> (d_free, lb, lh) f64 warm
+    d_np = np.asarray(d_fixed)
+    t_np = np.asarray(times)
+    w_np = np.asarray(waypoints)
+    r_np = np.asarray(radii)
+    # Optimality repair (round-5): rows the tier-1.5 restart chain LANDED
+    # carry snap-repaired points -- feasible but up to ~74% above the
+    # interior-point optimum at ultra-tight radii (cost_gap_probe r=[0.02,
+    # 0.06]: tier-2/3-landed rows gap median 0.39, f64-landed 2e-9).  Mosek
+    # returns the OPTIMIZER, not a repaired point (qcqp_impl.h:777-786), so
+    # chain-repaired rows join the first f64 stage even when feasible: if
+    # the f64 IPM exhibits a strictly feasible point it is preferred (near-
+    # optimal); otherwise the f32 exhibition stands and the verdict is
+    # unchanged.  At the bench distribution the chain lands ~0 rows (the
+    # speculative tier-1 restart absorbs them), so the throughput line
+    # does not pay for this.
+    # ``pending`` tracks chain-repaired rows the f64 tier has not yet
+    # landed with its own strictly feasible (near-optimal) point; they
+    # ride along through every stage -- including the restarts -- until
+    # an f64 exhibition replaces the repaired point or the stages run out
+    # (then the f32 exhibition stands).
+    pending = (np.isin(tier_mark, (2, 3)).copy()
+               if tier_mark is not None
+               else np.zeros_like(t1_inf, dtype=bool))
+
+    def _merge_keep(pol64, gi, m_list):
+        # Prefer the f64 interior-point iterate whenever it is strictly
+        # feasible (it is the near-OPTIMAL point -- Mosek returns the
+        # optimizer, not a repaired point, qcqp_impl.h:777-786);
+        # otherwise best-by-violation so solution rows stay consistent
+        # with the np.minimum verdict bookkeeping below.
+        keep = ((pol64.max_violation < strict_gate) |
+                (pol64.max_violation < m_list[pos_mv][gi]))
+
+        def _take(new, old):
+            k = keep.reshape(keep.shape + (1,) * (new.ndim - 1))
+            return jnp.where(k, new.astype(old.dtype), old)
+
+        p_sel = [pf for m, pf in zip(a_mask, pol64) if m]
+        return [(mf if pf is None else mf.at[gi].set(_take(pf, mf[gi])))
+                for mf, pf in zip(m_list, p_sel)]
+
+    for stage, t2_iters in enumerate((30, 120, 60, 60)):
+        restart = stage >= 2
+        if restart:
+            # Restart stages fire on UNDETERMINED rows only (the ground
+            # truth's recipe: exhibition outranks certificates, so
+            # certified rows rest; a restarted endgame re-examines rows
+            # neither side could settle) -- plus still-pending
+            # optimality-repair rows.
+            need2 = ((t1_viol >= strict_gate) & ~t1_inf) | pending
+        else:
+            need2 = (t1_viol >= strict_gate) | pending
         if not need2.any():
             break
         sub = np.nonzero(need2)[0]
@@ -256,38 +316,38 @@ def _run_tier2_f64(structure, d_fixed, times, waypoints, radii, idx,
         sub_pad = np.concatenate([sub, np.full(nb2 - n2, sub[-1],
                                                dtype=sub.dtype)])
         gidx = idx[sub_pad]
-        f64 = jnp.float64
 
-        def _build_tier2(n_it=t2_iters):
-            def run(d1, d2, d3, d4, gi, m_list):
-                pol64 = jax.vmap(
-                    lambda a1, a2, a3, a4: solve_qcqp_polished(
-                        structure, a1, a2, a3, a4,
-                        ipm_config=IPMConfig(n_iters=n_it)))(
-                    d1, d2, d3, d4)
-                # Prefer the f64 interior-point iterate whenever it is
-                # strictly feasible (it is the near-OPTIMAL point --
-                # Mosek returns the optimizer, not a repaired point,
-                # qcqp_impl.h:777-786); otherwise best-by-violation so
-                # solution rows stay consistent with the np.minimum
-                # verdict bookkeeping below.
-                keep = ((pol64.max_violation < strict_gate) |
-                        (pol64.max_violation < m_list[pos_mv][gi]))
-
-                def _take(new, old):
-                    k = keep.reshape(keep.shape + (1,) * (new.ndim - 1))
-                    return jnp.where(k, new.astype(old.dtype), old)
-
-                p_sel = [pf for m, pf in zip(a_mask, pol64) if m]
-                merged2 = [(mf if pf is None else
-                            mf.at[gi].set(_take(pf, mf[gi])))
-                           for mf, pf in zip(m_list, p_sel)]
-                return pol64.max_violation, pol64.infeasible, merged2
-            return run
+        if restart:
+            def _build_tier2(n_it=t2_iters):
+                def run(d1, d2, d3, d4, xw, lb, lh, gi, m_list):
+                    pol64 = jax.vmap(
+                        lambda a1, a2, a3, a4, a5, a6, a7: solve_qcqp_ipm(
+                            structure, a1, a2, a3, a4,
+                            config=IPMConfig(n_iters=n_it),
+                            x0=a5, lam0_ball=a6, lam0_half=a7))(
+                        d1, d2, d3, d4, xw, lb, lh)
+                    merged2 = _merge_keep(pol64, gi, m_list)
+                    return (pol64.max_violation, pol64.infeasible,
+                            pol64.d_free, pol64.dual_ball,
+                            pol64.dual_half, merged2)
+                return run
+        else:
+            def _build_tier2(n_it=t2_iters):
+                def run(d1, d2, d3, d4, gi, m_list):
+                    pol64 = jax.vmap(
+                        lambda a1, a2, a3, a4: solve_qcqp_polished(
+                            structure, a1, a2, a3, a4,
+                            ipm_config=IPMConfig(n_iters=n_it)))(
+                        d1, d2, d3, d4)
+                    merged2 = _merge_keep(pol64, gi, m_list)
+                    return (pol64.max_violation, pol64.infeasible,
+                            pol64.d_free, pol64.dual_ball,
+                            pol64.dual_half, merged2)
+                return run
 
         f2 = _cached_jit(
-            ("tier2", structure, nb2, t2_iters, a_mask, a_dtypes,
-             strict_gate), _build_tier2)
+            ("tier2r" if restart else "tier2", structure, nb2, t2_iters,
+             a_mask, a_dtypes, strict_gate), _build_tier2)
         # Host-CPU device: tier-2 is the Mosek analogue -- an f64 CPU
         # solve for the handful of rows the f32 chip tiers cannot
         # settle.  (f64 on the TPU itself is software-emulated; the
@@ -298,15 +358,31 @@ def _run_tier2_f64(structure, d_fixed, times, waypoints, radii, idx,
         with jax.enable_x64(True), \
              jax.default_device(jax.devices("cpu")[0]):
             gidx_dev = jnp.asarray(gidx)
-            v64, i64, merged_fields = f2(
-                jnp.asarray(np.asarray(d_fixed), f64)[gidx_dev],
-                jnp.asarray(np.asarray(times), f64)[gidx_dev],
-                jnp.asarray(np.asarray(waypoints), f64)[gidx_dev],
-                jnp.asarray(np.asarray(radii), f64)[gidx_dev],
-                gidx_dev, [jnp.asarray(np.asarray(mf))
-                           for mf in merged_fields])
+            args = [jnp.asarray(d_np, f64)[gidx_dev],
+                    jnp.asarray(t_np, f64)[gidx_dev],
+                    jnp.asarray(w_np, f64)[gidx_dev],
+                    jnp.asarray(r_np, f64)[gidx_dev]]
+            if restart:
+                args += [jnp.asarray(np.stack([warm[int(s)][1 + j]
+                                               for s in sub_pad]))
+                         for j in range(3)]
+            v64, i64, xdf, xlb, xlh, merged_fields = f2(
+                *args, gidx_dev,
+                [jnp.asarray(np.asarray(mf)) for mf in merged_fields])
         v64, i64 = jax.device_get((v64, i64))              # ONE sync
-        t1_viol[sub] = np.minimum(t1_viol[sub], np.asarray(v64)[:n2])
+        v64 = np.asarray(v64)[:n2]
+        # Track the best f64 iterate per row for the restart stages'
+        # warm starts (best-by-F64-violation, the gt recipe; NOT the
+        # merged min, which includes the f32 exhibition and would pin
+        # pending optimality rows to their stage-1 iterate forever).
+        xdf, xlb, xlh = (np.asarray(jax.device_get(a))[:n2]
+                         for a in (xdf, xlb, xlh))
+        for j, s in enumerate(sub):
+            s_i = int(s)
+            if s_i not in warm or v64[j] <= warm[s_i][0]:
+                warm[s_i] = (v64[j], xdf[j], xlb[j], xlh[j])
+        t1_viol[sub] = np.minimum(t1_viol[sub], v64)
+        pending[sub] &= ~(v64 < strict_gate)
         if tier_mark is not None:
             tier_mark[sub] = 4
         # The f64 certificate REPLACES the accumulated f32 one for
