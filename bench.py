@@ -239,7 +239,9 @@ def main():
             print(f"[bench] router verdict parity (recorded, "
                   f"n={v['n_total']}): worst-bucket agreement "
                   f"{worst*100:.1f}%, false-feasible {v['false_feasible']}, "
-                  f"escalated {v['n_escalated']}/{v['n_total']}",
+                  f"escalated {v['n_escalated']}/{v['n_total']}, "
+                  f"undetermined(gt) {v['n_undetermined']}, "
+                  f"cost gap p99 {v['cost_gap_p99']:.1e}",
                   file=sys.stderr)
         ep = os.path.join(bdir, "external_parity_results.json")
         if os.path.exists(ep):
