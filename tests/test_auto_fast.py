@@ -147,6 +147,61 @@ def test_tier2_f64_tiny_fast(small_batch):
     assert float(np.asarray(merged[pos_mv])[2]) < 1e-4
 
 
+def test_tier2_optimality_repair_chain_landed(small_batch):
+    """Round-5 optimality repair: a row the f32 restart chain LANDED
+    (feasible-by-exhibition but cost-suboptimal, tier_mark 2/3) joins the
+    f64 stages anyway, and the f64 interior-point iterate REPLACES the
+    repaired point once it is strictly feasible (Mosek returns the
+    optimizer, not a repaired point -- qcqp_impl.h:777-786).  Without the
+    chain mark the same feasible row is left untouched."""
+    free, df, times, waypoints, radii, values = small_batch
+    a = qcqp.solve_qcqp_batch(free, jnp.asarray(df), jnp.asarray(times),
+                              jnp.asarray(waypoints), jnp.asarray(radii),
+                              config=_ADMM,
+                              warmstart_values=jnp.asarray(values),
+                              scenario_block=4)
+    a_mask = tuple(af is not None for af in a)
+    a_dtypes = tuple(af.dtype.name for m, af in zip(a_mask, a) if m)
+    pos = auto._sel_positions(a_mask)
+    sel = [i for i, m in enumerate(a_mask) if m]
+    pos["cost"] = sel.index(qcqp.QCQPSolution._fields.index("cost"))
+    row = 2                     # tight (r=0.1) but feasible corridor
+
+    def fabricate():
+        """Full-batch merged fields with row 2 feasible-by-exhibition but
+        carrying a 10x-inflated cost (a snap-repaired chain exhibit)."""
+        fields = [jnp.asarray(af) for m, af in zip(a_mask, a) if m]
+        fields[pos["cost"]] = fields[pos["cost"]].at[row].mul(10.0)
+        fields[pos["max_violation"]] = (
+            fields[pos["max_violation"]].at[row].set(1e-6))
+        return fields
+
+    args = (free, jnp.asarray(df), jnp.asarray(times),
+            jnp.asarray(waypoints), jnp.asarray(radii), np.array([row]))
+    inflated = float(np.asarray(fabricate()[pos["cost"]])[row])
+
+    # No chain mark: the feasible row never enters tier-2 -- the inflated
+    # point survives (the repair must not fire on tier-0/1-landed rows).
+    t1_viol = np.array([1e-6], np.float32)
+    t1_inf = np.array([False])
+    kept = auto._run_tier2_f64(*args, t1_viol, t1_inf, fabricate(),
+                               a_mask, a_dtypes, 1e-4)
+    assert float(np.asarray(kept[pos["cost"]])[row]) == inflated
+
+    # Chain mark (tier_mark 2 = restart #1): the row joins the f64 stages
+    # and the near-optimal f64 point replaces the repaired one.
+    t1_viol = np.array([1e-6], np.float32)
+    t1_inf = np.array([False])
+    mark = np.array([2], np.int8)
+    merged = auto._run_tier2_f64(*args, t1_viol, t1_inf, fabricate(),
+                                 a_mask, a_dtypes, 1e-4, tier_mark=mark)
+    repaired_cost = float(np.asarray(merged[pos["cost"]])[row])
+    assert repaired_cost < 0.5 * inflated, (repaired_cost, inflated)
+    assert float(np.asarray(merged[pos["max_violation"]])[row]) < 1e-4
+    assert t1_viol[0] < 1e-4 and not t1_inf[0]
+    assert mark[0] == 4        # the row is now f64-landed
+
+
 def test_strict_determinacy_contract(small_batch):
     """With tier2_f64=True EVERY verdict is determinate (+1/-1, never 0)
     -- the contract the strict entry ships and future throughput work must
