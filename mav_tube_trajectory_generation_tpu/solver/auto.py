@@ -743,6 +743,13 @@ def solve_qcqp_strict_sharded(structure: ProblemStructure,
                                  rho_tube_factor=0.125,
                                  rho_half_factor=0.125, use_pallas=True)
     if ipm_config is None:
+        # it10 here vs the single-process entry's it6: the short schedule
+        # is only safe WITH the fused speculative restart (tier1_spec)
+        # recovering its tail, and that speculation is not ported to the
+        # shard_mapped tier-1 program (a cross-shard top-k gather); until
+        # it is, the mesh path keeps the deeper schedule -- a deliberate,
+        # quality-preserving divergence, not drift (tier0_snap=2 IS
+        # shared, see the docstring).
         ipm_config = IPMConfig(n_iters=10, sigma_min=0.3, corrector=False)
     if tier1_block is None:
         tier1_block = scenario_block
