@@ -112,6 +112,33 @@ def test_router_no_escalation_fastpath(small_batch):
     assert (res.verdict == auto.FEASIBLE).all()
 
 
+def test_router_speculative_restart_fast(small_batch):
+    """The fused speculative restart (tier1_spec, round-5 default path)
+    compiles and preserves the verdict contract at small shapes: the
+    top-k slice is re-solved INSIDE the tier-1 program and merged
+    best-by-violation, so escalated rows can only improve on the plain
+    tier-1 result."""
+    free, df, times, waypoints, radii, values = small_batch
+    kw = dict(admm_config=_ADMM, ipm_config=_IPM,
+              warmstart_values=jnp.asarray(values), tier2_f64=False)
+    res0 = auto.solve_qcqp_auto(
+        free, jnp.asarray(df), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(radii), tier1_spec=0, **kw)
+    res2 = auto.solve_qcqp_auto(
+        free, jnp.asarray(df), jnp.asarray(times), jnp.asarray(waypoints),
+        jnp.asarray(radii), tier1_spec=2, **kw)
+    # Same routing decisions (the gate precedes the speculation).
+    np.testing.assert_array_equal(res0.escalated, res2.escalated)
+    # Verdict contract unchanged: gate-pass rows feasible, the
+    # structurally infeasible row certified, feasible escalated rows
+    # exhibit < strict gate.
+    assert (res2.verdict[[0, 1, 4, 5, 6]] == auto.FEASIBLE).all()
+    assert res2.verdict[7] == auto.INFEASIBLE
+    v2 = np.asarray(res2.solution.max_violation)
+    assert (v2[res2.escalated & (res2.verdict == auto.FEASIBLE)]
+            < 1e-4).all()
+
+
 def test_tier2_f64_tiny_fast(small_batch):
     """Tier-2 semantics on a 2-row host-CPU f64 residue (fast-tier signal
     for the default-on production path, VERDICT r04 weak #6): exhibition
